@@ -1,0 +1,81 @@
+"""ActivityNet-format annotation + duration handling for YC2.
+
+Reproduces the reference's schema reading and timestamp→feature-index math
+(reference: src/rtransformer/recursive_caption_dataset.py:112-169, 379-387).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Dict, List, Tuple
+
+SPLIT_FILES = {
+    "train": "bosselut_yc2_train_anet_format.json",
+    "val": "bosselut_split_yc2_val_anet_format.json",
+    "test": "bosselut_split_yc2_test_anet_format.json",
+}
+
+PARA_REFERENCE_FILES = {
+    "val": "yc2_split_val_anet_format_para.json",
+    "test": "yc2_split_test_anet_format_para.json",
+}
+
+
+def load_annotations(data_dir: str, split: str, max_n_sen: int) -> List[dict]:
+    """Load one split; truncate each video to ``max_n_sen`` clips
+    (reference: recursive_caption_dataset.py:136-169)."""
+    if split not in SPLIT_FILES:
+        raise ValueError(f"split must be one of {sorted(SPLIT_FILES)}, got {split}")
+    path = os.path.join(data_dir, SPLIT_FILES[split])
+    with open(path) as f:
+        raw = json.load(f)
+    data = []
+    for name, line in raw.items():
+        line = dict(line)
+        line["name"] = name
+        line["timestamps"] = line["timestamps"][:max_n_sen]
+        line["sentences"] = line["sentences"][:max_n_sen]
+        data.append(line)
+    return data
+
+
+def load_durations(duration_file: str, dset_name: str = "yc2",
+                   sampling_sec: float = 0.5) -> Dict[str, float]:
+    """duration CSV -> seconds-per-feature-frame map.
+
+    Matches the reference's yc2 math exactly
+    (recursive_caption_dataset.py:126-131):
+      frame_to_second[vid] = dur * ceil(frames / dur * 0.5) / frames
+    """
+    frame_to_second = {}
+    with open(duration_file) as f:
+        for line in f:
+            vid_name, vid_dur, vid_frame = [l.strip() for l in line.split(",")]
+            if dset_name == "yc2":
+                frame_to_second[vid_name] = float(vid_dur) * math.ceil(
+                    float(vid_frame) * 1. / float(vid_dur) * sampling_sec
+                ) * 1. / float(vid_frame)
+            elif dset_name == "anet":
+                frame_to_second[vid_name] = float(vid_dur) * int(
+                    float(vid_frame) * 1. / int(float(vid_dur)) * sampling_sec
+                ) * 1. / float(vid_frame)
+            else:
+                raise NotImplementedError(f"unsupported dataset {dset_name}")
+    if dset_name == "anet":
+        frame_to_second["_0CqozZun3U"] = sampling_sec
+    return frame_to_second
+
+
+def timestamp_to_feature_span(
+    feat_len: int, timestamp: Tuple[float, float], frm2sec: float
+) -> Tuple[int, int]:
+    """Wall-clock [start, end] -> inclusive feature index span
+    (reference: recursive_caption_dataset.py:379-387)."""
+    st = int(math.floor(timestamp[0] / frm2sec))
+    ed = int(math.ceil(timestamp[1] / frm2sec))
+    ed = min(ed, feat_len - 1)
+    st = min(st, ed - 1)
+    assert st <= ed <= feat_len, f"st {st} <= ed {ed} <= feat_len {feat_len}"
+    return st, ed

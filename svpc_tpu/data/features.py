@@ -1,0 +1,82 @@
+"""Video feature store.
+
+The reference loads ``{vid}_resnet.npy`` + ``{vid}_bn.npy`` per example from
+disk inside ``__getitem__`` with no caching
+(reference: recursive_caption_dataset.py:187-189).  Here feature IO is a
+separate layer so the hot path (load → concat → span-index → downsample →
+pad) can be served by the native C++ packer (svpc_tpu/native) with a pure
+numpy fallback.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from svpc_tpu.data.anet import timestamp_to_feature_span
+
+
+class FeatureStore:
+    """Loads and caches per-video ResNet+BN-Inception features."""
+
+    def __init__(self, feature_dir: str, cache_size: int = 0):
+        self.feature_dir = feature_dir
+        self._cache: Dict[str, np.ndarray] = {}
+        self._cache_size = cache_size
+
+    def paths(self, video_name: str) -> Tuple[str, str]:
+        return (
+            os.path.join(self.feature_dir, f"{video_name}_resnet.npy"),
+            os.path.join(self.feature_dir, f"{video_name}_bn.npy"),
+        )
+
+    def exists(self, video_name: str) -> bool:
+        return all(os.path.exists(p) for p in self.paths(video_name))
+
+    def load(self, video_name: str) -> np.ndarray:
+        """(T, 3072) float32 = concat(resnet 2048, bn 1024)."""
+        if video_name in self._cache:
+            return self._cache[video_name]
+        p_resnet, p_bn = self.paths(video_name)
+        feat = np.concatenate([np.load(p_resnet), np.load(p_bn)], axis=1)
+        feat = feat.astype(np.float32, copy=False)
+        if self._cache_size and len(self._cache) < self._cache_size:
+            self._cache[video_name] = feat
+        return feat
+
+
+def index_clip_features(
+    raw_feat: np.ndarray,
+    timestamp: Tuple[float, float],
+    frm2sec: float,
+    max_v_len: int,
+    total_len: int,
+    feature_size: Optional[int] = None,
+) -> Tuple[np.ndarray, int, int]:
+    """Slice one clip's features into a fixed-length buffer.
+
+    Layout matches the reference (recursive_caption_dataset.py:389-416):
+    row 0 is the [CLS] slot (zeros), rows 1..valid hold the clip features
+    (linspace-downsampled when the span exceeds ``max_v_len - 2``), the
+    [SEP] slot and padding are zeros.  Returns (feat (total_len, D),
+    valid_len, token pattern length) where valid_len is the number of [VID]
+    rows.
+    """
+    max_v_l = max_v_len - 2
+    feat_len = len(raw_feat)
+    st, ed = timestamp_to_feature_span(feat_len, timestamp, frm2sec)
+    indexed_feat_len = ed - st + 1
+
+    dim = feature_size if feature_size is not None else raw_feat.shape[1]
+    feat = np.zeros((total_len, dim), dtype=np.float32)
+    if indexed_feat_len > max_v_l:
+        idx = np.linspace(st, ed, max_v_l, endpoint=True).astype(np.int64)
+        assert idx.max() < feat_len
+        feat[1:max_v_l + 1] = raw_feat[idx]
+        valid_l = max_v_l
+    else:
+        valid_l = ed - st + 1
+        feat[1:valid_l + 1] = raw_feat[st:ed + 1]
+    return feat, valid_l, indexed_feat_len

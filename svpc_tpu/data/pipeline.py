@@ -1,0 +1,311 @@
+"""Fixed-shape host data pipeline.
+
+The reference's dataset emits ragged per-video lists of per-clip dicts that
+a custom collate pads to the *batch* max step count and transposes into a
+list of per-step batches (reference: recursive_caption_dataset.py:503-589).
+The model then loops over examples in Python (model.py:1059).
+
+TPU-first redesign: every video becomes one fixed-shape example
+``(S, L, ...)`` with validity masks; a batch is a plain stack.  Everything
+downstream (model, loss, decode) is mask-driven and jit-compiled once.
+
+Shapes (per example):
+  input_ids       (S, L)  int32     L = max_v_len + max_t_len
+  input_mask      (S, L)  float32
+  input_labels    (S, L)  int32     extended ids, IGNORE on non-loss slots
+  token_type_ids  (S, L)  int32
+  video_feature   (S, L, Dv) float32
+  step_mask       (S,)    float32
+  ingr_ids        (I,)    int32
+  ingr_mask       (I,)    int32
+  ingr_sep_mask   (I,)    int32
+  entity_mask     (E,)    float32
+  copy_ids        (E, K)  int32     pointer-gen scatter targets (extended ids)
+  copy_weights    (E, K)  float32   1/len(group) per occurrence
+  oov_count       ()      int32
+  alignment       (S, E)  float32   entity supervision
+  action          (S, A)  float32   verb supervision (multi-hot)
+  action_row_mask (S,)    float32   rows with >=1 active verb
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from svpc_tpu import tokenization as tok
+from svpc_tpu.config import Config
+from svpc_tpu.data.anet import load_annotations, load_durations
+from svpc_tpu.data.features import FeatureStore, index_clip_features
+
+ARRAY_KEYS = (
+    "input_ids", "input_mask", "input_labels", "token_type_ids",
+    "video_feature", "step_mask", "ingr_ids", "ingr_mask", "ingr_sep_mask",
+    "entity_mask", "copy_ids", "copy_weights", "oov_count",
+    "alignment", "action", "action_row_mask",
+)
+
+
+@dataclasses.dataclass
+class Example:
+    arrays: Dict[str, np.ndarray]
+    meta: Dict
+
+
+Batch = Dict[str, np.ndarray]
+
+
+def build_ingredient_arrays(
+    ingredients: Sequence[str], vocab: tok.Vocabulary,
+    max_i_len: int, max_entities: int, max_oov: int, max_ingr_words: int,
+) -> Tuple[Dict[str, np.ndarray], Dict[str, int]]:
+    """Tokenize ingredients; build OOV extension + pointer-gen scatter groups.
+
+    Mirrors clip_ingredient_to_feature (recursive_caption_dataset.py:239-281):
+    OOV ingredient words get ids ``vocab_size + k`` in first-seen order; the
+    per-entity id groups drive the copy distribution scatter.
+    """
+    tokens, mask, sep_mask = tok.tokenize_ingredients(ingredients, max_i_len)
+    ids = vocab.encode(tokens)
+
+    vocab_size = len(vocab)
+    oov_word_dict: Dict[str, int] = {}
+    extended_ids: List[int] = []
+    for i, wid in enumerate(ids):
+        if wid == tok.UNK:
+            word = tokens[i]
+            if word not in oov_word_dict:
+                oov_word_dict[word] = vocab_size + len(oov_word_dict)
+            extended_ids.append(oov_word_dict[word])
+        else:
+            extended_ids.append(wid)
+    if len(oov_word_dict) > max_oov:
+        raise ValueError(
+            f"example has {len(oov_word_dict)} OOV ingredient words "
+            f"> max_oov={max_oov}")
+
+    # entity groups: ids between consecutive [SEP]s, stop at first [PAD]
+    groups: List[List[int]] = []
+    cur: List[int] = []
+    for eid in extended_ids:
+        if eid == tok.PAD:
+            break
+        if eid == tok.SEP:
+            groups.append(cur)
+            cur = []
+        else:
+            cur.append(eid)
+    # NOTE: the reference keys groups by SEP count, so a trailing unterminated
+    # group (ingredient cut by the max_i_len budget) still accumulates ids
+    # under the next index — but that entity has no [SEP], hence no entity
+    # slot; it can never be attended.  We drop it, matching effective
+    # behaviour.
+
+    n_entities = int(np.sum(sep_mask))
+    if n_entities > max_entities:
+        raise ValueError(
+            f"example has {n_entities} entities > max_entities={max_entities}")
+
+    copy_ids = np.zeros((max_entities, max_ingr_words), dtype=np.int32)
+    copy_weights = np.zeros((max_entities, max_ingr_words), dtype=np.float32)
+    for e, group in enumerate(groups[:max_entities]):
+        if len(group) > max_ingr_words:
+            raise ValueError(
+                f"ingredient group of {len(group)} words > "
+                f"max_ingr_words={max_ingr_words}")
+        for k, eid in enumerate(group):
+            copy_ids[e, k] = eid
+            copy_weights[e, k] = 1.0 / len(group)
+
+    entity_mask = np.zeros((max_entities,), dtype=np.float32)
+    entity_mask[:n_entities] = 1.0
+
+    arrays = dict(
+        ingr_ids=np.asarray(ids, dtype=np.int32),
+        ingr_mask=np.asarray(mask, dtype=np.int32),
+        ingr_sep_mask=np.asarray(sep_mask, dtype=np.int32),
+        entity_mask=entity_mask,
+        copy_ids=copy_ids,
+        copy_weights=copy_weights,
+        oov_count=np.asarray(len(oov_word_dict), dtype=np.int32),
+    )
+    meta = dict(oov_word_dict=oov_word_dict, n_entities=n_entities)
+    return arrays, meta
+
+
+def build_clip_arrays(
+    timestamp, sentence: str, raw_feat: np.ndarray, frm2sec: float,
+    vocab: tok.Vocabulary, oov_word_dict: Dict[str, int],
+    max_v_len: int, max_t_len: int,
+) -> Dict[str, np.ndarray]:
+    """One clip-sentence pair -> fixed (L,) arrays.
+
+    Token layout ``[CLS] [VID]* [SEP] [PAD]* | [BOS] w* [EOS] [PAD]*``
+    (reference: recursive_caption_dataset.py:283-340)."""
+    total_len = max_v_len + max_t_len
+    feat, valid_l, _ = index_clip_features(
+        raw_feat, timestamp, frm2sec, max_v_len, total_len)
+
+    max_v_l = max_v_len - 2
+    video_tokens = ([tok.CLS_TOKEN] + [tok.VID_TOKEN] * valid_l
+                    + [tok.SEP_TOKEN] + [tok.PAD_TOKEN] * (max_v_l - valid_l))
+    video_mask = [1] * (valid_l + 2) + [0] * (max_v_l - valid_l)
+
+    text_tokens, text_mask = tok.tokenize_sentence(sentence, max_t_len)
+    input_tokens = video_tokens + text_tokens
+
+    input_ids = [vocab.get(t) for t in input_tokens]
+    extended_input_ids = []
+    for t in input_tokens:
+        if t in vocab.word2idx:
+            extended_input_ids.append(vocab.word2idx[t])
+        elif t in oov_word_dict:
+            extended_input_ids.append(oov_word_dict[t])
+        else:
+            extended_input_ids.append(tok.UNK)
+
+    # shifted-right labels over the text span (recursive_caption_dataset.py:316-319)
+    text_ext = extended_input_ids[-len(text_mask):]
+    input_labels = (
+        [tok.IGNORE] * len(video_tokens)
+        + [tok.IGNORE if m == 0 else tid for tid, m in zip(text_ext, text_mask)][1:]
+        + [tok.IGNORE]
+    )
+    input_mask = video_mask + text_mask
+    token_type_ids = [0] * max_v_len + [1] * max_t_len
+
+    return dict(
+        input_ids=np.asarray(input_ids, dtype=np.int32),
+        input_labels=np.asarray(input_labels, dtype=np.int32),
+        input_mask=np.asarray(input_mask, dtype=np.float32),
+        token_type_ids=np.asarray(token_type_ids, dtype=np.int32),
+        video_feature=feat,
+    )
+
+
+class CaptionDataset:
+    """YC2 recurrent captioning dataset producing fixed-shape examples."""
+
+    def __init__(self, cfg: Config, split: str, num_steps: Optional[int] = None,
+                 feature_store: Optional[FeatureStore] = None):
+        m, d = cfg.model, cfg.data
+        self.cfg = cfg
+        self.split = split
+        # reference: eval loaders raise max_n_sen by 10 (train.py:635-642)
+        self.num_steps = num_steps or (
+            m.max_n_sen if split == "train" else m.max_n_sen + 10)
+        self.vocab = tok.Vocabulary.from_json(d.word2idx_path)
+        import json
+        with open(d.verb2idx_path) as f:
+            self.verb2idx = json.load(f)
+        self.action_vocab_size = len(self.verb2idx)
+        self.store = feature_store or FeatureStore(d.video_feature_dir)
+        self.frame_to_second = load_durations(
+            d.duration_file, d.dset_name, d.sampling_sec)
+        data = load_annotations(d.data_dir, split, self.num_steps)
+        # fix_missing (recursive_caption_dataset.py:95-110)
+        self.missing = [e["name"] for e in data if not self.store.exists(e["name"])]
+        self.data = [e for e in data if e["name"] not in set(self.missing)]
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, index: int) -> Example:
+        return self.make_example(self.data[index])
+
+    def make_example(self, entry: dict) -> Example:
+        m = self.cfg.model
+        S = self.num_steps
+        name = entry["name"]
+        raw_feat = self.store.load(name)
+        frm2sec = self.frame_to_second[name]
+
+        ingr_arrays, ingr_meta = build_ingredient_arrays(
+            entry["ingredients"], self.vocab, m.max_i_len,
+            m.max_entities, m.max_oov, m.max_ingr_words)
+        oov_word_dict = ingr_meta["oov_word_dict"]
+
+        n_sen = len(entry["sentences"])
+        L = m.max_v_len + m.max_t_len
+        out = dict(
+            input_ids=np.zeros((S, L), np.int32),
+            input_labels=np.full((S, L), tok.IGNORE, np.int32),
+            input_mask=np.zeros((S, L), np.float32),
+            token_type_ids=np.zeros((S, L), np.int32),
+            video_feature=np.zeros((S, L, m.video_feature_size), np.float32),
+        )
+        for s in range(n_sen):
+            clip = build_clip_arrays(
+                entry["timestamps"][s], entry["sentences"][s], raw_feat,
+                frm2sec, self.vocab, oov_word_dict, m.max_v_len, m.max_t_len)
+            for k in out:
+                key = "input_labels" if k == "input_labels" else k
+                out[k][s] = clip[key]
+
+        step_mask = np.zeros((S,), np.float32)
+        step_mask[:n_sen] = 1.0
+
+        # entity / action supervision (recursive_caption_dataset.py:219-237)
+        alignment = np.zeros((S, m.max_entities), np.float32)
+        align_rows = entry.get("alignment", [])[:S]
+        for i, row in enumerate(align_rows):
+            w = min(len(row), m.max_entities)
+            alignment[i, :w] = np.asarray(row[:w], np.float32)
+        action = np.zeros((S, self.action_vocab_size), np.float32)
+        for i, step_action in enumerate(entry.get("action", [])[:S]):
+            for _, action_id in step_action.items():
+                action[i, action_id] = 1.0
+        action_row_mask = (action.sum(axis=1) > 0).astype(np.float32) * step_mask
+
+        arrays = dict(out, step_mask=step_mask, alignment=alignment,
+                      action=action, action_row_mask=action_row_mask,
+                      **ingr_arrays)
+        meta = dict(
+            name=name,
+            timestamps=entry["timestamps"],
+            gt_sentences=entry["sentences"],
+            oov_word_dict=oov_word_dict,
+            n_steps=n_sen,
+            n_entities=ingr_meta["n_entities"],
+        )
+        return Example(arrays=arrays, meta=meta)
+
+    def batches(self, batch_size: int, shuffle: bool = False,
+                seed: int = 0, drop_remainder: bool = False,
+                pad_to_batch: bool = True):
+        """Yield (Batch, metas) pairs."""
+        order = np.arange(len(self))
+        if shuffle:
+            order = np.random.RandomState(seed).permutation(order)
+        for i in range(0, len(order), batch_size):
+            idx = order[i:i + batch_size]
+            if drop_remainder and len(idx) < batch_size:
+                return
+            examples = [self[int(j)] for j in idx]
+            batch = batch_examples(examples)
+            if pad_to_batch and len(idx) < batch_size:
+                batch = pad_batch_to(batch, batch_size)
+            yield batch, [e.meta for e in examples]
+
+
+def batch_examples(examples: Sequence[Example]) -> Batch:
+    return {k: np.stack([e.arrays[k] for e in examples]) for k in ARRAY_KEYS}
+
+
+def pad_batch_to(batch: Batch, batch_size: int) -> Batch:
+    """Pad the leading axis with all-invalid examples (zero masks, IGNORE
+    labels) so jit sees one static batch shape."""
+    n = batch["step_mask"].shape[0]
+    if n == batch_size:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        pad_shape = (batch_size - n,) + v.shape[1:]
+        if k == "input_labels":
+            pad = np.full(pad_shape, tok.IGNORE, v.dtype)
+        else:
+            pad = np.zeros(pad_shape, v.dtype)
+        out[k] = np.concatenate([v, pad], axis=0)
+    return out

@@ -1,0 +1,245 @@
+"""Transformer building blocks (post-LN, BERT-style).
+
+Faithful re-derivations of the reference blocks (model.py:143-319,
+:565-694, :697-739) in flax.linen with fixed shapes and mask-driven
+attention.  The additive mask semantics ``(1 - m) * -10000`` are preserved
+exactly (model.py:194) for token-level parity with the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from svpc_tpu.config import ModelConfig
+
+Dtype = Any
+
+
+def dense_init(cfg: ModelConfig):
+    return nn.initializers.normal(stddev=cfg.initializer_range)
+
+
+def erf_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf-based) gelu, matching reference model.py:58-64."""
+    return x * 0.5 * (1.0 + jax.lax.erf(x / math.sqrt(2.0)))
+
+
+class LayerNorm(nn.Module):
+    """TF-style layernorm (eps inside the sqrt), reference model.py:143-156."""
+    cfg: ModelConfig
+    dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        # flax LayerNorm matches the reference formula (biased variance,
+        # epsilon inside rsqrt); compute in f32 for stability.
+        orig_dtype = x.dtype
+        out = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps,
+                           dtype=jnp.float32, name="ln")(x)
+        return out.astype(orig_dtype)
+
+
+def attention_core(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    mask: jnp.ndarray, *, num_heads: int,
+    dropout_rate: float, deterministic: bool,
+    dropout_rng: Optional[jax.Array] = None,
+    module: Optional[nn.Module] = None,
+) -> jnp.ndarray:
+    """Masked scaled-dot-product attention.
+
+    q (N, Lq, H), k/v (N, L, H), mask (N, Lq, L) or (N, 1, L) float 1/0.
+    Additive masking ``(1-m) * -1e4`` as in reference model.py:194.
+    """
+    n, lq, h = q.shape
+    l = k.shape[1]
+    dh = h // num_heads
+    qh = q.reshape(n, lq, num_heads, dh).transpose(0, 2, 1, 3)
+    kh = k.reshape(n, l, num_heads, dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(n, l, num_heads, dh).transpose(0, 2, 1, 3)
+
+    scores = jnp.einsum("nhqd,nhkd->nhqk", qh, kh,
+                        preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(dh)
+    add_mask = (1.0 - mask[:, None, :, :].astype(jnp.float32)) * -10000.0
+    scores = scores + add_mask
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = probs.astype(v.dtype)
+    if not deterministic and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    ctx = jnp.einsum("nhqk,nhkd->nhqd", probs, vh)
+    return ctx.transpose(0, 2, 1, 3).reshape(n, lq, h)
+
+
+class MultiHeadAttention(nn.Module):
+    """QKV projections + attention core.  No output projection — the
+    reference's BertSelfAttention (model.py:159-220) leaves the output
+    dense to BertSelfOutput, and the decoder uses the raw context."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, q_states, k_states, v_states, mask, deterministic=True):
+        cfg = self.cfg
+        dtype = q_states.dtype
+        init = dense_init(cfg)
+        q = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype, name="query")(q_states)
+        k = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype, name="key")(k_states)
+        v = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype, name="value")(v_states)
+        rng = None
+        if not deterministic and cfg.attention_probs_dropout_prob > 0:
+            rng = self.make_rng("dropout")
+        return attention_core(
+            q, k, v, mask, num_heads=cfg.num_attention_heads,
+            dropout_rate=cfg.attention_probs_dropout_prob,
+            deterministic=deterministic, dropout_rng=rng)
+
+
+class SelfOutput(nn.Module):
+    """dense → dropout → LN(x + input) (reference model.py:222-233)."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, hidden, residual, deterministic=True):
+        cfg = self.cfg
+        h = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg),
+                     dtype=hidden.dtype, name="dense")(hidden)
+        h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
+        return LayerNorm(cfg, name="layer_norm")(h + residual)
+
+
+class AttentionBlock(nn.Module):
+    """Self-attention + SelfOutput (reference BertAttention, model.py:236-253)."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic=True):
+        ctx = MultiHeadAttention(self.cfg, name="self")(
+            x, x, x, mask, deterministic=deterministic)
+        return SelfOutput(self.cfg, name="output")(ctx, x, deterministic)
+
+
+class Intermediate(nn.Module):
+    """dense → gelu (reference BertIntermediate, model.py:256-265)."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.cfg.intermediate_size, kernel_init=dense_init(self.cfg),
+                     dtype=x.dtype, name="dense")(x)
+        return erf_gelu(h)
+
+
+class OutputBlock(nn.Module):
+    """dense → dropout → LN(x + input) (reference BertOutput, model.py:278-289)."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, hidden, residual, deterministic=True):
+        cfg = self.cfg
+        h = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg),
+                     dtype=hidden.dtype, name="dense")(hidden)
+        h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
+        return LayerNorm(cfg, name="layer_norm")(h + residual)
+
+
+class EncoderLayer(nn.Module):
+    """Untied encoder layer (reference BertLayerNoMemoryUntied,
+    model.py:565-591): AttentionBlock → Intermediate → Output."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, mask_1d, diagonal_mask=False, deterministic=True):
+        lq = x.shape[1]
+        mask = mask_1d[:, None, :]  # (N, 1, L)
+        if diagonal_mask:
+            causal = jnp.tril(jnp.ones((lq, lq), dtype=x.dtype))
+            mask = mask * causal[None, :, :]
+        attn_out = AttentionBlock(self.cfg, name="attention")(
+            x, mask, deterministic=deterministic)
+        inter = Intermediate(self.cfg, name="intermediate")(attn_out)
+        return OutputBlock(self.cfg, name="output")(inter, attn_out, deterministic)
+
+
+class Encoder(nn.Module):
+    """Stack of EncoderLayers (reference BertEncoderNoMemoryUntied)."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, mask_1d, diagonal_mask=False, deterministic=True):
+        for i in range(self.cfg.num_hidden_layers):
+            x = EncoderLayer(self.cfg, name=f"layer_{i}")(
+                x, mask_1d, diagonal_mask, deterministic)
+        return x
+
+
+class DecoderLayer(nn.Module):
+    """Untied decoder layer (reference BertDecoderLayerNoMemoryUntied,
+    model.py:620-663): causal self-attn → LN residual → cross-attn →
+    LN residual (residual is the *self-attn output*) → OutputBlock."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, dec, dec_mask, enc_out, enc_mask, deterministic=True):
+        lt = dec.shape[1]
+        causal = jnp.tril(jnp.ones((lt, lt), dtype=dec.dtype))
+        self_mask = dec_mask[:, None, :] * causal[None, :, :]
+
+        attn = MultiHeadAttention(self.cfg, name="self_attention")(
+            dec, dec, dec, self_mask, deterministic=deterministic)
+        attn = LayerNorm(self.cfg, name="norm1")(attn + dec)
+
+        cross = MultiHeadAttention(self.cfg, name="dec_enc_attention")(
+            attn, enc_out, enc_out, enc_mask[:, None, :], deterministic=deterministic)
+        cross = LayerNorm(self.cfg, name="norm2")(attn + cross)
+
+        return OutputBlock(self.cfg, name="output")(cross, cross, deterministic)
+
+
+class Decoder(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, dec, dec_mask, enc_out, enc_mask, deterministic=True):
+        for i in range(self.cfg.num_hidden_layers):
+            dec = DecoderLayer(self.cfg, name=f"layer_{i}")(
+                dec, dec_mask, enc_out, enc_mask, deterministic)
+        return dec
+
+
+class PredictionHeadTransform(nn.Module):
+    """dense → gelu → LN (reference model.py:697-709)."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.cfg.hidden_size, kernel_init=dense_init(self.cfg),
+                     dtype=x.dtype, name="dense")(x)
+        return LayerNorm(self.cfg, name="layer_norm")(erf_gelu(h))
+
+
+class LMPredictionHead(nn.Module):
+    """transform → vocab projection (+bias) (reference model.py:712-739).
+
+    When ``cfg.share_wd_cls_weight`` the caller passes the tied word
+    embedding matrix as ``shared_embedding`` (vocab, H)."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, shared_embedding: Optional[jnp.ndarray] = None):
+        cfg = self.cfg
+        h = PredictionHeadTransform(cfg, name="transform")(x)
+        if cfg.share_wd_cls_weight:
+            assert shared_embedding is not None
+            logits = h @ shared_embedding.T.astype(h.dtype)
+        else:
+            logits = nn.Dense(cfg.vocab_size, use_bias=False,
+                              kernel_init=dense_init(cfg), dtype=h.dtype,
+                              name="decoder")(h)
+        bias = self.param("bias", nn.initializers.zeros, (cfg.vocab_size,))
+        return logits + bias.astype(logits.dtype)
