@@ -1,0 +1,80 @@
+"""Greedy autoregressive decoding as one jit-compiled ``lax.scan``.
+
+Reference: translator.py:45-163 — a python loop per example, re-running the
+decoder over all positions for every emitted token.  Here the whole batch
+decodes in one compiled scan over ``max_t_len`` positions (the per-position
+full re-run is mathematically identical to KV-cached decoding for this
+causal decoder; the scan keeps the exact reference semantics: UNK
+suppressed with -1e10, copy-produced OOV ids tracked in a parallel
+extended-id buffer and fed back as UNK, position 0 forced to [BOS]).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from svpc_tpu import tokenization as tok
+from svpc_tpu.config import ModelConfig
+
+NEG = -1e10
+
+
+def greedy_decode(model, params, batch, rngs=None) -> jnp.ndarray:
+    """Returns extended token ids (B, S, T): [BOS], then argmax tokens.
+
+    Call under jit (see make_greedy_fn)."""
+    cfg: ModelConfig = model.cfg
+    B, S, L = batch["input_ids"].shape
+    T, V, C = cfg.max_t_len, cfg.vocab_size, cfg.extended_vocab_size
+
+    state = model.apply(params, batch, deterministic=True,
+                        method=type(model).encode)
+
+    if cfg.model_mode == "video":
+        ext = jnp.full((B,), V, jnp.int32)
+    else:
+        ext = (V + batch["oov_count"]).astype(jnp.int32)
+    cols = jnp.arange(C, dtype=jnp.int32)
+    col_ok = cols[None, :] < ext[:, None]              # (B, C)
+    col_ok = col_ok & (cols[None, :] != tok.UNK)       # UNK never wins
+
+    text_ids0 = jnp.zeros((B, S, T), jnp.int32)        # all [PAD]
+    ext_ids0 = jnp.zeros((B, S, T), jnp.int32)
+    text_mask0 = jnp.zeros((B, S, T), jnp.float32)
+    next0 = jnp.full((B, S), tok.BOS, jnp.int32)
+
+    def step(carry, t):
+        text_ids, ext_ids, text_mask, next_sym, oov_next = carry
+        text_ids = jax.lax.dynamic_update_index_in_dim(
+            text_ids, next_sym, t, axis=2)
+        ext_ids = jax.lax.dynamic_update_index_in_dim(
+            ext_ids, oov_next, t, axis=2)
+        text_mask = jax.lax.dynamic_update_index_in_dim(
+            text_mask, jnp.ones((B, S), jnp.float32), t, axis=2)
+
+        probs = model.apply(params, batch, state, text_ids, text_mask,
+                            deterministic=True, method=type(model).score_text)
+        cur = jax.lax.dynamic_index_in_dim(probs, t, axis=2, keepdims=False)
+        cur = jnp.where(col_ok[:, None, :], cur, NEG)   # (B, S, C)
+        nw = jnp.argmax(cur, axis=-1).astype(jnp.int32)  # (B, S)
+        new_oov = nw
+        new_next = jnp.where(nw >= V, tok.UNK, nw)       # feed OOV back as UNK
+        return (text_ids, ext_ids, text_mask, new_next, new_oov), None
+
+    carry0 = (text_ids0, ext_ids0, text_mask0, next0, next0)
+    (text_ids, ext_ids, _, _, _), _ = jax.lax.scan(
+        step, carry0, jnp.arange(T, dtype=jnp.int32))
+
+    return text_ids if cfg.model_mode == "video" else ext_ids
+
+
+def make_greedy_fn(model):
+    """jit-compiled greedy decoder over a device batch."""
+    @jax.jit
+    def fn(params, batch):
+        return greedy_decode(model, params, batch)
+    return fn

@@ -140,7 +140,9 @@ class IngredientEmbeddings(nn.Module):
         emb = self.word_fc(emb, deterministic)  # (B, I, H)
         seg = entity_segment_matrix(ingr_sep_mask, cfg.max_entities)
         pooled = jnp.einsum("bei,bih->beh", seg.astype(emb.dtype), emb)
-        return add_position_encoding(pooled, cfg.max_position_embeddings)
+        # PE row e depends only on e; table just needs to cover max_entities
+        return add_position_encoding(
+            pooled, max(cfg.max_position_embeddings, cfg.max_entities))
 
 
 class TokenTypeEmbeddings(nn.Module):

@@ -1,0 +1,166 @@
+"""Import a reference PyTorch checkpoint (state_dict) into SVPCModel params.
+
+Enables golden-parity testing and lets users of the reference bring their
+trained ``.chkpt`` files to this framework.  Mapping follows the reference
+module tree (model.py:826-873); torch ``nn.Linear`` weights are (out, in)
+and transpose to flax ``kernel`` (in, out).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+
+def _wordfc(prefix_t: str, prefix_f: str) -> Dict[str, tuple]:
+    """Sequential(LN, Dropout, Linear, ReLU, LN) -> ln_in/dense/ln_out."""
+    return {
+        f"{prefix_f}/ln_in/ln/scale": (f"{prefix_t}.0.weight", None),
+        f"{prefix_f}/ln_in/ln/bias": (f"{prefix_t}.0.bias", None),
+        f"{prefix_f}/dense/kernel": (f"{prefix_t}.2.weight", "T"),
+        f"{prefix_f}/dense/bias": (f"{prefix_t}.2.bias", None),
+        f"{prefix_f}/ln_out/ln/scale": (f"{prefix_t}.4.weight", None),
+        f"{prefix_f}/ln_out/ln/bias": (f"{prefix_t}.4.bias", None),
+    }
+
+
+def _attention(prefix_t: str, prefix_f: str) -> Dict[str, tuple]:
+    out = {}
+    for name in ("query", "key", "value"):
+        out[f"{prefix_f}/{name}/kernel"] = (f"{prefix_t}.{name}.weight", "T")
+        out[f"{prefix_f}/{name}/bias"] = (f"{prefix_t}.{name}.bias", None)
+    return out
+
+
+def _encoder(prefix_t: str, prefix_f: str, n_layers: int) -> Dict[str, tuple]:
+    out = {}
+    for i in range(n_layers):
+        t = f"{prefix_t}.layer.{i}"
+        f = f"{prefix_f}/layer_{i}"
+        out.update(_attention(f"{t}.attention.self", f"{f}/attention/self"))
+        out[f"{f}/attention/output/dense/kernel"] = (f"{t}.attention.output.dense.weight", "T")
+        out[f"{f}/attention/output/dense/bias"] = (f"{t}.attention.output.dense.bias", None)
+        out[f"{f}/attention/output/layer_norm/ln/scale"] = (f"{t}.attention.output.LayerNorm.weight", None)
+        out[f"{f}/attention/output/layer_norm/ln/bias"] = (f"{t}.attention.output.LayerNorm.bias", None)
+        out[f"{f}/intermediate/dense/kernel"] = (f"{t}.hidden_intermediate.dense.weight", "T")
+        out[f"{f}/intermediate/dense/bias"] = (f"{t}.hidden_intermediate.dense.bias", None)
+        out[f"{f}/output/dense/kernel"] = (f"{t}.output.dense.weight", "T")
+        out[f"{f}/output/dense/bias"] = (f"{t}.output.dense.bias", None)
+        out[f"{f}/output/layer_norm/ln/scale"] = (f"{t}.output.LayerNorm.weight", None)
+        out[f"{f}/output/layer_norm/ln/bias"] = (f"{t}.output.LayerNorm.bias", None)
+    return out
+
+
+def _decoder(prefix_t: str, prefix_f: str, n_layers: int) -> Dict[str, tuple]:
+    out = {}
+    for i in range(n_layers):
+        t = f"{prefix_t}.layer.{i}"
+        f = f"{prefix_f}/layer_{i}"
+        out.update(_attention(f"{t}.self_attention", f"{f}/self_attention"))
+        out.update(_attention(f"{t}.dec_enc_attention", f"{f}/dec_enc_attention"))
+        out[f"{f}/norm1/ln/scale"] = (f"{t}.norm1.weight", None)
+        out[f"{f}/norm1/ln/bias"] = (f"{t}.norm1.bias", None)
+        out[f"{f}/norm2/ln/scale"] = (f"{t}.norm2.weight", None)
+        out[f"{f}/norm2/ln/bias"] = (f"{t}.norm2.bias", None)
+        out[f"{f}/output/dense/kernel"] = (f"{t}.output.dense.weight", "T")
+        out[f"{f}/output/dense/bias"] = (f"{t}.output.dense.bias", None)
+        out[f"{f}/output/layer_norm/ln/scale"] = (f"{t}.output.LayerNorm.weight", None)
+        out[f"{f}/output/layer_norm/ln/bias"] = (f"{t}.output.LayerNorm.bias", None)
+    return out
+
+
+def _reasoner(prefix_t: str, prefix_f: str) -> Dict[str, tuple]:
+    return {
+        # action_embeddings may be a raw Parameter (after GloVe loading) or
+        # an nn.Embedding — handled in import_state_dict
+        f"{prefix_f}/action_embeddings": (f"{prefix_t}.action_embeddings", None),
+        f"{prefix_f}/action_selector_0/kernel": (f"{prefix_t}.action_selector.0.weight", "T"),
+        f"{prefix_f}/action_selector_0/bias": (f"{prefix_t}.action_selector.0.bias", None),
+        f"{prefix_f}/action_selector_1/kernel": (f"{prefix_t}.action_selector.3.weight", "T"),
+        f"{prefix_f}/action_selector_1/bias": (f"{prefix_t}.action_selector.3.bias", None),
+        f"{prefix_f}/W1/kernel": (f"{prefix_t}.W1.0.weight", "T"),
+        f"{prefix_f}/W1/bias": (f"{prefix_t}.W1.0.bias", None),
+        f"{prefix_f}/W2/kernel": (f"{prefix_t}.W2.weight", "T"),
+        f"{prefix_f}/W2/bias": (f"{prefix_t}.W2.bias", None),
+        f"{prefix_f}/W3/kernel": (f"{prefix_t}.W3.weight", "T"),
+        f"{prefix_f}/W3/bias": (f"{prefix_t}.W3.bias", None),
+        f"{prefix_f}/W4/kernel": (f"{prefix_t}.W4.weight", "T"),
+        f"{prefix_f}/W4/bias": (f"{prefix_t}.W4.bias", None),
+    }
+
+
+def _lstm(prefix_t: str, prefix_f: str) -> Dict[str, tuple]:
+    return {
+        f"{prefix_f}/w_ih_fwd": (f"{prefix_t}.weight_ih_l0", None),
+        f"{prefix_f}/w_hh_fwd": (f"{prefix_t}.weight_hh_l0", None),
+        f"{prefix_f}/b_ih_fwd": (f"{prefix_t}.bias_ih_l0", None),
+        f"{prefix_f}/b_hh_fwd": (f"{prefix_t}.bias_hh_l0", None),
+        f"{prefix_f}/w_ih_bwd": (f"{prefix_t}.weight_ih_l0_reverse", None),
+        f"{prefix_f}/w_hh_bwd": (f"{prefix_t}.weight_hh_l0_reverse", None),
+        f"{prefix_f}/b_ih_bwd": (f"{prefix_t}.bias_ih_l0_reverse", None),
+        f"{prefix_f}/b_hh_bwd": (f"{prefix_t}.bias_hh_l0_reverse", None),
+    }
+
+
+def build_mapping(model_mode: str, n_layers: int) -> Dict[str, tuple]:
+    m: Dict[str, tuple] = {}
+    m["text_embeddings/word_embeddings/embedding"] = ("text_embeddings.word_embeddings.weight", None)
+    m.update(_wordfc("text_embeddings.word_fc", "text_embeddings/word_fc"))
+    m["token_type_embeddings/embedding"] = ("token_type_embeddings.weight", None)
+    m.update(_wordfc("video_embeddings.video_embeddings", "video_embeddings"))
+    m.update(_encoder("encoder", "encoder", n_layers))
+    m.update(_encoder("step_wise_encoder", "step_wise_encoder", n_layers))
+    m.update(_decoder("decoder", "decoder", n_layers))
+    m["decoder_classifier/transform/dense/kernel"] = ("decoder_classifier.transform.dense.weight", "T")
+    m["decoder_classifier/transform/dense/bias"] = ("decoder_classifier.transform.dense.bias", None)
+    m["decoder_classifier/transform/layer_norm/ln/scale"] = ("decoder_classifier.transform.LayerNorm.weight", None)
+    m["decoder_classifier/transform/layer_norm/ln/bias"] = ("decoder_classifier.transform.LayerNorm.bias", None)
+    m["decoder_classifier/decoder/kernel"] = ("decoder_classifier.decoder.weight", "T")
+    m["decoder_classifier/bias"] = ("decoder_classifier.bias", None)
+
+    if model_mode != "video":
+        m["ingredient_embeddings/word_embeddings/embedding"] = ("ingredient_embeddings.word_embeddings.weight", None)
+        m.update(_wordfc("ingredient_embeddings.word_fc", "ingredient_embeddings/word_fc"))
+        m["pointer_generator/wing/kernel"] = ("Wing.weight", "T")
+        m["pointer_generator/wing/bias"] = ("Wing.bias", None)
+        m["pointer_generator/pgen/kernel"] = ("pgen_linear.0.weight", "T")
+        m["pointer_generator/pgen/bias"] = ("pgen_linear.0.bias", None)
+    if model_mode in ("full", "reason_copy"):
+        m.update(_reasoner("reasoner", "reasoner"))
+        m["Wac/kernel"] = ("Wac.0.weight", "T")
+        m["Wac/bias"] = ("Wac.0.bias", None)
+        m["Went/kernel"] = ("Went.0.weight", "T")
+        m["Went/bias"] = ("Went.0.bias", None)
+    if model_mode == "full":
+        m.update(_reasoner("recipe_reasoner", "recipe_reasoner"))
+        m.update(_lstm("recipe_encoder", "recipe_encoder"))
+    return m
+
+
+def import_state_dict(flax_params, torch_state: Dict[str, np.ndarray],
+                      model_mode: str, n_layers: int):
+    """Return flax params with every mapped tensor replaced by the torch
+    value.  ``torch_state`` is a {name: np.ndarray} dict (e.g. a loaded
+    npz of the reference state_dict)."""
+    mapping = build_mapping(model_mode, n_layers)
+    flat = {"/".join(k): v for k, v in flatten_dict(flax_params["params"]).items()}
+    for f_key, (t_key, transform) in mapping.items():
+        if t_key not in torch_state:
+            # nn.Embedding form of action_embeddings
+            if t_key + ".weight" in torch_state:
+                t_key = t_key + ".weight"
+            else:
+                raise KeyError(f"reference tensor {t_key} not found")
+        val = np.asarray(torch_state[t_key])
+        if transform == "T":
+            val = val.T
+        if f_key not in flat:
+            raise KeyError(f"flax param {f_key} not found")
+        if flat[f_key].shape != val.shape:
+            raise ValueError(
+                f"shape mismatch {f_key}: {flat[f_key].shape} vs {val.shape}")
+        flat[f_key] = val.astype(np.float32)
+    nested = unflatten_dict({tuple(k.split("/")): v for k, v in flat.items()})
+    return {"params": nested}

@@ -1,9 +1,15 @@
 """Test configuration: force an 8-device CPU mesh before jax is imported
-anywhere, so multi-chip sharding paths are exercised without TPUs."""
+anywhere, so multi-chip sharding paths are exercised without TPUs.
+
+NOTE: this environment pre-sets JAX_PLATFORMS=axon (a TPU plugin) which
+wins over later JAX_PLATFORMS assignments; JAX_PLATFORM_NAME=cpu reliably
+overrides it.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,3 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+# bit-exact f32 matmuls for parity tests
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_report_header(config):
+    return f"jax devices: {jax.devices()}"
