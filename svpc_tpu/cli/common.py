@@ -1,0 +1,73 @@
+"""Shared CLI argument handling.
+
+One argument surface for train / evaluate / dump-memories (the reference
+duplicates ~150 argparse lines across three scripts; SURVEY §5 config).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from svpc_tpu.config import (
+    MODEL_TYPE_TO_MODE, Config, DataConfig, ModelConfig, TrainConfig)
+
+
+def add_common_args(p: argparse.ArgumentParser):
+    p.add_argument("--model_type", choices=list(MODEL_TYPE_TO_MODE),
+                   default="vivt", help="vivt=full viv=reason_copy vi=copy v=video")
+    p.add_argument("--data_dir", default="densevid_eval/yc2_data")
+    p.add_argument("--video_feature_dir", required=True)
+    p.add_argument("--duration_file", required=True)
+    p.add_argument("--word2idx_path", default="cache/yc2_word2idx.json")
+    p.add_argument("--verb2idx_path", default="cache/bosselut_verb_vocab.json")
+    p.add_argument("--glove_path", default="")
+    p.add_argument("--verb_glove_path", default="")
+    p.add_argument("--temperature", type=float, default=0.5)
+    p.add_argument("--lam", type=float, default=0.5)
+    p.add_argument("--max_n_sen", type=int, default=12)
+    p.add_argument("--max_t_len", type=int, default=22)
+    p.add_argument("--max_v_len", type=int, default=100)
+    p.add_argument("--max_i_len", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--val_batch_size", type=int, default=50)
+    p.add_argument("--n_epoch", type=int, default=50)
+    p.add_argument("--seed", type=int, default=2019)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--ema_decay", type=float, default=0.9999)
+    p.add_argument("--label_smoothing", type=float, default=0.1)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--dp_size", type=int, default=1)
+    p.add_argument("--debug", action="store_true")
+
+
+def config_from_args(args) -> Config:
+    with open(args.word2idx_path) as f:
+        vocab_size = len(json.load(f))
+    with open(args.verb2idx_path) as f:
+        action_vocab_size = len(json.load(f))
+    return Config(
+        model=ModelConfig(
+            vocab_size=vocab_size, action_vocab_size=action_vocab_size,
+            model_mode=MODEL_TYPE_TO_MODE[args.model_type],
+            temperature=args.temperature, lambda_=args.lam,
+            max_n_sen=args.max_n_sen, max_t_len=args.max_t_len,
+            max_v_len=args.max_v_len, max_i_len=args.max_i_len,
+            label_smoothing=args.label_smoothing,
+            compute_dtype=args.compute_dtype, use_pallas=args.use_pallas),
+        data=DataConfig(
+            data_dir=args.data_dir,
+            video_feature_dir=args.video_feature_dir,
+            duration_file=args.duration_file,
+            word2idx_path=args.word2idx_path,
+            verb2idx_path=args.verb2idx_path,
+            glove_path=args.glove_path,
+            verb_glove_path=args.verb_glove_path),
+        train=TrainConfig(
+            batch_size=args.batch_size, val_batch_size=args.val_batch_size,
+            n_epoch=args.n_epoch, seed=args.seed, lr=args.lr,
+            ema_decay=args.ema_decay, dp_size=args.dp_size,
+            debug=args.debug),
+    )

@@ -1,0 +1,98 @@
+"""Offline evaluation CLI (reference: src/test.py + scripts/eval_caption.sh).
+
+Decodes a split greedily from a checkpoint, writes the submission JSON and
+the merged metric bundle, optionally ingredient F1
+(scripts/eval_ingredient_f1.sh equivalent via --ingredient_f1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+
+import jax
+
+from svpc_tpu.cli.common import add_common_args, config_from_args
+from svpc_tpu.data.anet import PARA_REFERENCE_FILES
+from svpc_tpu.data.pipeline import CaptionDataset
+from svpc_tpu.evaluation.ingredient_f1 import (
+    build_ingredient_dictionary, ingredient_f1)
+from svpc_tpu.evaluation.para_eval import evaluate_submission
+from svpc_tpu.train.loop import init_model, run_greedy_eval
+from svpc_tpu.train.state import TrainState, load_checkpoint
+from svpc_tpu.train.optim import make_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+def main():
+    from svpc_tpu.runtime import init_runtime
+    init_runtime()
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)-10s: %(message)s")
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--split", default="test", choices=["val", "test"])
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--ingredient_f1", action="store_true")
+    args = p.parse_args()
+    cfg = config_from_args(args)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    ds = CaptionDataset(cfg, args.split)
+    sample, _ = next(iter(ds.batches(cfg.train.val_batch_size)))
+    model, params = init_model(cfg, sample)
+    tx = make_optimizer(cfg.train, 1)
+    state = TrainState.create(params, tx, use_ema=cfg.train.ema_decay > 0)
+    state = load_checkpoint(args.checkpoint, state)
+    eval_params = state.eval_params()
+
+    submission = run_greedy_eval(model, eval_params, ds, cfg)
+    sub_path = os.path.join(args.output_dir,
+                            f"greedy_pred_{args.split}.json")
+    with open(sub_path, "w") as f:
+        json.dump(submission, f, indent=2)
+    logger.info("submission written to %s", sub_path)
+
+    metrics = {}
+    para_file = PARA_REFERENCE_FILES.get(args.split)
+    if para_file:
+        ref_para_path = os.path.join(cfg.data.data_dir, para_file)
+        if os.path.exists(ref_para_path):
+            metrics = evaluate_submission(submission, ref_para_path)
+
+    if args.ingredient_f1:
+        with open(os.path.join(
+                cfg.data.data_dir,
+                f"bosselut_split_yc2_{args.split}_anet_format.json"
+                if args.split != "train"
+                else "bosselut_yc2_train_anet_format.json")) as f:
+            gt = json.load(f)
+        all_dict = build_ingredient_dictionary(cfg.data.data_dir)
+        gt_recipes, gen_recipes = {}, {}
+        for rid, ann in gt.items():
+            if rid not in submission["results"]:
+                continue
+            gt_recipes[rid] = dict(ingredients=ann["ingredients"],
+                                   sentences=ann["sentences"])
+            gen_recipes[rid] = dict(
+                ingredients=ann["ingredients"],
+                sentences=[e["sentence"]
+                           for e in submission["results"][rid]])
+        metrics["ingredient_f1"] = ingredient_f1(
+            gt_recipes, gen_recipes, all_dict)
+
+    metrics_path = os.path.join(args.output_dir,
+                                f"metrics_{args.split}.json")
+    with open(metrics_path, "w") as f:
+        json.dump(metrics, f, indent=2, default=str)
+    logger.info("metrics: %s", json.dumps(
+        {k: v for k, v in metrics.items()
+         if isinstance(v, (int, float))}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

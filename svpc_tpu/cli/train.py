@@ -1,0 +1,37 @@
+"""Training CLI.
+
+Usage (mirrors scripts/train.sh of the reference):
+  python -m svpc_tpu.cli.train --model_type vivt \
+    --video_feature_dir /path/features --duration_file /path/dur.csv \
+    --workdir results/run1
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+from svpc_tpu.cli.common import add_common_args, config_from_args
+from svpc_tpu.train.loop import train
+
+
+def main():
+    from svpc_tpu.runtime import init_runtime
+    init_runtime()
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)-10s: %(message)s")
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--max_steps_per_epoch", type=int, default=None)
+    p.add_argument("--no_language_eval", action="store_true")
+    args = p.parse_args()
+    cfg = config_from_args(args)
+    if args.debug:
+        args.max_steps_per_epoch = 1
+    train(cfg, args.workdir, max_steps_per_epoch=args.max_steps_per_epoch,
+          eval_language=not args.no_language_eval)
+
+
+if __name__ == "__main__":
+    main()

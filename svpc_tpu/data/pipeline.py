@@ -31,6 +31,7 @@ Shapes (per example):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -139,14 +140,20 @@ def build_clip_arrays(
     timestamp, sentence: str, raw_feat: np.ndarray, frm2sec: float,
     vocab: tok.Vocabulary, oov_word_dict: Dict[str, int],
     max_v_len: int, max_t_len: int,
+    packed: Optional[Tuple[np.ndarray, int]] = None,
 ) -> Dict[str, np.ndarray]:
     """One clip-sentence pair -> fixed (L,) arrays.
 
     Token layout ``[CLS] [VID]* [SEP] [PAD]* | [BOS] w* [EOS] [PAD]*``
-    (reference: recursive_caption_dataset.py:283-340)."""
+    (reference: recursive_caption_dataset.py:283-340).  ``packed`` carries
+    a (features, valid_len) pair already produced by the native C++
+    packer; otherwise the numpy path indexes ``raw_feat``."""
     total_len = max_v_len + max_t_len
-    feat, valid_l, _ = index_clip_features(
-        raw_feat, timestamp, frm2sec, max_v_len, total_len)
+    if packed is not None:
+        feat, valid_l = packed
+    else:
+        feat, valid_l, _ = index_clip_features(
+            raw_feat, timestamp, frm2sec, max_v_len, total_len)
 
     max_v_l = max_v_len - 2
     video_tokens = ([tok.CLS_TOKEN] + [tok.VID_TOKEN] * valid_l
@@ -189,7 +196,9 @@ class CaptionDataset:
     """YC2 recurrent captioning dataset producing fixed-shape examples."""
 
     def __init__(self, cfg: Config, split: str, num_steps: Optional[int] = None,
-                 feature_store: Optional[FeatureStore] = None):
+                 feature_store: Optional[FeatureStore] = None,
+                 use_native: bool = True):
+        self.use_native = use_native
         m, d = cfg.model, cfg.data
         self.cfg = cfg
         self.split = split
@@ -201,7 +210,14 @@ class CaptionDataset:
         with open(d.verb2idx_path) as f:
             self.verb2idx = json.load(f)
         self.action_vocab_size = len(self.verb2idx)
-        self.store = feature_store or FeatureStore(d.video_feature_dir)
+        # reference convention: features live under training/ (train split)
+        # and validation/ (val AND test splits) — train.py:630,638,
+        # test.py:297-303.  Fall back to the bare dir when no subdir exists.
+        subdir = "training" if split == "train" else "validation"
+        feat_dir = os.path.join(d.video_feature_dir, subdir)
+        if not os.path.isdir(feat_dir):
+            feat_dir = d.video_feature_dir
+        self.store = feature_store or FeatureStore(feat_dir)
         self.frame_to_second = load_durations(
             d.duration_file, d.dset_name, d.sampling_sec)
         data = load_annotations(d.data_dir, split, self.num_steps)
@@ -219,7 +235,6 @@ class CaptionDataset:
         m = self.cfg.model
         S = self.num_steps
         name = entry["name"]
-        raw_feat = self.store.load(name)
         frm2sec = self.frame_to_second[name]
 
         ingr_arrays, ingr_meta = build_ingredient_arrays(
@@ -229,6 +244,23 @@ class CaptionDataset:
 
         n_sen = len(entry["sentences"])
         L = m.max_v_len + m.max_t_len
+
+        # feature hot path: native C++ packer (mmap + direct fill),
+        # bit-exact with the numpy fallback (tests/test_native.py)
+        packed = None
+        raw_feat = None
+        if self.use_native:
+            from svpc_tpu.native import pack_video_native
+            p_resnet, p_bn = self.store.paths(name)
+            res = pack_video_native(
+                p_resnet, p_bn, np.asarray(entry["timestamps"][:n_sen],
+                                           np.float64),
+                frm2sec, m.max_v_len, L, m.video_feature_size)
+            if res is not None:
+                packed = res
+        if packed is None:
+            raw_feat = self.store.load(name)
+
         out = dict(
             input_ids=np.zeros((S, L), np.int32),
             input_labels=np.full((S, L), tok.IGNORE, np.int32),
@@ -239,7 +271,8 @@ class CaptionDataset:
         for s in range(n_sen):
             clip = build_clip_arrays(
                 entry["timestamps"][s], entry["sentences"][s], raw_feat,
-                frm2sec, self.vocab, oov_word_dict, m.max_v_len, m.max_t_len)
+                frm2sec, self.vocab, oov_word_dict, m.max_v_len, m.max_t_len,
+                packed=(packed[0][s], int(packed[1][s])) if packed else None)
             for k in out:
                 key = "input_labels" if k == "input_labels" else k
                 out[k][s] = clip[key]

@@ -1,0 +1,94 @@
+"""Paragraph-level caption evaluation harness.
+
+Equivalent of the reference's per-epoch eval subprocess chain
+(train.py:308-331): densevid_eval/para-evaluate.py (BLEU/METEOR/ROUGE-L/
+CIDEr on '. '-joined paragraphs normalized by parse_sent), plus
+get_caption_stat.py and evaluateRepetition.py, merged into one metrics
+dict.  Scorers are in-process pure python (see bleu/cider/rouge/meteor
+modules); when the reference's densevid_eval tooling is present on disk it
+can be invoked as a subprocess cross-check.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Dict, List, Optional
+
+from svpc_tpu.evaluation.bleu import compute_bleu
+from svpc_tpu.evaluation.caption_stats import caption_stats
+from svpc_tpu.evaluation.cider import compute_cider_d
+from svpc_tpu.evaluation.meteor import compute_meteor
+from svpc_tpu.evaluation.repetition import evaluate_repetition
+from svpc_tpu.evaluation.rouge import compute_rouge_l
+
+
+def parse_sent(sent: str) -> List[str]:
+    """densevid_eval/para-evaluate.py:26-29."""
+    res = re.sub("[^a-zA-Z]", " ", sent)
+    return res.strip().lower().split()
+
+
+def _ensure_caption_key(data: Dict) -> Dict:
+    if data and not str(next(iter(data))).startswith("v_"):
+        return {"v_" + k: v for k, v in data.items()}
+    return data
+
+
+def submission_to_paragraphs(results: Dict) -> Dict[str, str]:
+    """{vid: [{sentence,...}]} -> {vid: 'sent1. sent2. '}
+    (para-evaluate.py:76-84)."""
+    para = {}
+    for vid, infos in results.items():
+        para[vid] = ""
+        for info in infos:
+            para[vid] += info["sentence"] + ". "
+    return _ensure_caption_key(para)
+
+
+def evaluate_language(results: Dict, reference_paragraphs: Dict,
+                      include_meteor: bool = True) -> Dict[str, float]:
+    """Paragraph-level BLEU1-4 / METEOR / ROUGE_L / CIDEr."""
+    predictions = submission_to_paragraphs(results)
+    gt = _ensure_caption_key(reference_paragraphs)
+
+    vids = list(gt.keys())
+    gts = {i: [" ".join(parse_sent(gt[k]))] for i, k in enumerate(vids)}
+    res = {
+        i: [" ".join(parse_sent(predictions[k]))]
+        if k in predictions and len(predictions[k]) > 0 else [""]
+        for i, k in enumerate(vids)
+    }
+
+    out: Dict[str, float] = {}
+    bleu, _ = compute_bleu(gts, res)
+    for n, score in enumerate(bleu, start=1):
+        out[f"Bleu_{n}"] = score
+    out["ROUGE_L"], _ = compute_rouge_l(gts, res)
+    out["CIDEr"], _ = compute_cider_d(gts, res)
+    if include_meteor:
+        meteor, _, backend = compute_meteor(gts, res)
+        out["METEOR"] = meteor
+        out["METEOR_backend"] = backend
+    return out
+
+
+def evaluate_submission(
+    submission: Dict, reference_para_path: str,
+    reference_anet_path: Optional[str] = None,
+    include_meteor: bool = True,
+) -> Dict:
+    """Full metric bundle for one submission dict
+    ({"results": {vid: [...]}} anet format)."""
+    results = submission["results"] if "results" in submission else submission
+    with open(reference_para_path) as f:
+        ref_para = json.load(f)
+
+    metrics = evaluate_language(results, ref_para, include_meteor)
+    gt_vids = ref_para
+    metrics.update(evaluate_repetition(results, gt_vids))
+    stats = caption_stats(results, gt_vids)
+    metrics["submission_stat"] = stats.get("submission")
+    if "gt_stat" in stats:
+        metrics["gt_stat"] = stats["gt_stat"]
+    return metrics

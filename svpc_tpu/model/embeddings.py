@@ -120,7 +120,7 @@ def entity_segment_matrix(ingr_sep_mask: jnp.ndarray, max_entities: int) -> jnp.
     exists = (e_ids[:, None] < n_entities[..., None, :]).astype(jnp.float32)
     member = member * exists
     counts = jnp.sum(member, axis=-1, keepdims=True)
-    return jnp.where(counts > 0, member / counts, 0.0)
+    return member / jnp.maximum(counts, 1.0)
 
 
 class IngredientEmbeddings(nn.Module):

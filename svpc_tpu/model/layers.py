@@ -29,6 +29,11 @@ def erf_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * 0.5 * (1.0 + jax.lax.erf(x / math.sqrt(2.0)))
 
 
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu" or any(
+        d.platform in ("tpu", "axon") for d in jax.devices())
+
+
 class LayerNorm(nn.Module):
     """TF-style layernorm (eps inside the sqrt), reference model.py:143-156."""
     cfg: ModelConfig
@@ -91,6 +96,9 @@ class MultiHeadAttention(nn.Module):
         q = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype, name="query")(q_states)
         k = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype, name="key")(k_states)
         v = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype, name="value")(v_states)
+        if cfg.use_pallas and deterministic and _on_tpu():
+            from svpc_tpu.ops.pallas_attention import fused_attention
+            return fused_attention(q, k, v, mask, cfg.num_attention_heads)
         rng = None
         if not deterministic and cfg.attention_probs_dropout_prob > 0:
             rng = self.make_rng("dropout")

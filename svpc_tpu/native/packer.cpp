@@ -1,0 +1,182 @@
+// Native feature packer: the host data pipeline's hot path.
+//
+// The reference loads {vid}_resnet.npy + {vid}_bn.npy per example with
+// numpy inside __getitem__ (reference: recursive_caption_dataset.py:187-189,
+// :389-416): parse -> concat -> span-index -> linspace-downsample -> pad.
+// This C++ implementation mmaps the .npy files (zero-copy), writes clip
+// rows straight into the caller's fixed-shape (S, L, D) batch buffer, and
+// parallelizes across clips with a small thread pool.  Exposed via a C ABI
+// consumed through ctypes (svpc_tpu/native/__init__.py); a pure-numpy
+// fallback stays available.
+//
+// Build: make -C svpc_tpu/native   (or import svpc_tpu.native, which
+// builds on first use).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+struct NpyArray {
+  void* map_base = nullptr;
+  size_t map_len = 0;
+  const float* data = nullptr;  // only f4 C-order supported
+  int64_t rows = 0;
+  int64_t cols = 0;
+  bool ok = false;
+};
+
+// Minimal .npy (v1.x/2.x) header parser for '<f4', C-order, 2-D arrays.
+NpyArray open_npy(const char* path) {
+  NpyArray out;
+  int fd = ::open(path, O_RDONLY);
+  if (fd < 0) return out;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size < 16) { ::close(fd); return out; }
+  void* base = ::mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+  ::close(fd);
+  if (base == MAP_FAILED) return out;
+  const unsigned char* p = static_cast<const unsigned char*>(base);
+  if (memcmp(p, "\x93NUMPY", 6) != 0) { ::munmap(base, st.st_size); return out; }
+  int major = p[6];
+  size_t header_len, header_off;
+  if (major == 1) {
+    header_len = p[8] | (p[9] << 8);
+    header_off = 10;
+  } else {
+    header_len = p[8] | (p[9] << 8) | (p[10] << 16)
+        | (static_cast<size_t>(p[11]) << 24);
+    header_off = 12;
+  }
+  std::string header(reinterpret_cast<const char*>(p + header_off), header_len);
+  if (header.find("'<f4'") == std::string::npos ||
+      header.find("'fortran_order': False") == std::string::npos) {
+    ::munmap(base, st.st_size);
+    return out;
+  }
+  size_t sh = header.find("'shape': (");
+  if (sh == std::string::npos) { ::munmap(base, st.st_size); return out; }
+  sh += 10;
+  out.rows = std::strtoll(header.c_str() + sh, nullptr, 10);
+  size_t comma = header.find(',', sh);
+  out.cols = std::strtoll(header.c_str() + comma + 1, nullptr, 10);
+  if (out.cols <= 0) { ::munmap(base, st.st_size); return out; }
+  out.map_base = base;
+  out.map_len = st.st_size;
+  out.data = reinterpret_cast<const float*>(p + header_off + header_len);
+  out.ok = true;
+  return out;
+}
+
+void close_npy(NpyArray& a) {
+  if (a.map_base) ::munmap(a.map_base, a.map_len);
+  a.map_base = nullptr;
+}
+
+// timestamp -> inclusive feature span (recursive_caption_dataset.py:379-387)
+inline void span_from_timestamp(double st_sec, double ed_sec, double frm2sec,
+                                int64_t feat_len, int64_t* st, int64_t* ed) {
+  *st = static_cast<int64_t>(std::floor(st_sec / frm2sec));
+  *ed = static_cast<int64_t>(std::ceil(ed_sec / frm2sec));
+  *ed = std::min(*ed, feat_len - 1);
+  *st = std::min(*st, *ed - 1);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pack every clip of one video into the fixed-shape feature buffer.
+//
+//   out        : (n_clips, total_len, d_resnet + d_bn) f32, zero-initialized
+//                by caller; row 0 ([CLS]) and the [SEP]/pad rows stay zero.
+//   valid_lens : (n_clips,) int64 — number of [VID] rows written per clip.
+//
+// Returns 0 on success, negative error code otherwise.
+int svpc_pack_video(const char* resnet_path, const char* bn_path,
+                    const double* timestamps,  // (n_clips, 2)
+                    int64_t n_clips, double frm2sec, int64_t max_v_len,
+                    int64_t total_len, float* out, int64_t* valid_lens,
+                    int64_t n_threads) {
+  NpyArray resnet = open_npy(resnet_path);
+  NpyArray bn = open_npy(bn_path);
+  if (!resnet.ok || !bn.ok) {
+    close_npy(resnet);
+    close_npy(bn);
+    return -1;
+  }
+  if (resnet.rows != bn.rows) {
+    close_npy(resnet);
+    close_npy(bn);
+    return -2;
+  }
+  const int64_t feat_len = resnet.rows;
+  const int64_t d_r = resnet.cols, d_b = bn.cols, d = d_r + d_b;
+  const int64_t max_v_l = max_v_len - 2;
+
+  auto pack_clip = [&](int64_t c) {
+    int64_t st, ed;
+    span_from_timestamp(timestamps[2 * c], timestamps[2 * c + 1], frm2sec,
+                        feat_len, &st, &ed);
+    const int64_t span = ed - st + 1;
+    float* clip_out = out + c * total_len * d;
+    if (span > max_v_l) {
+      // np.linspace(st, ed, max_v_l, endpoint=True).astype(int64)
+      const double step = static_cast<double>(ed - st) / (max_v_l - 1);
+      for (int64_t i = 0; i < max_v_l; ++i) {
+        int64_t src = static_cast<int64_t>(st + step * i);
+        if (i == max_v_l - 1) src = ed;
+        float* dst = clip_out + (i + 1) * d;
+        std::memcpy(dst, resnet.data + src * d_r, d_r * sizeof(float));
+        std::memcpy(dst + d_r, bn.data + src * d_b, d_b * sizeof(float));
+      }
+      valid_lens[c] = max_v_l;
+    } else {
+      for (int64_t i = 0; i < span; ++i) {
+        const int64_t src = st + i;
+        float* dst = clip_out + (i + 1) * d;
+        std::memcpy(dst, resnet.data + src * d_r, d_r * sizeof(float));
+        std::memcpy(dst + d_r, bn.data + src * d_b, d_b * sizeof(float));
+      }
+      valid_lens[c] = span;
+    }
+  };
+
+  if (n_threads <= 1 || n_clips <= 1) {
+    for (int64_t c = 0; c < n_clips; ++c) pack_clip(c);
+  } else {
+    std::vector<std::thread> workers;
+    const int64_t n_w = std::min<int64_t>(n_threads, n_clips);
+    for (int64_t w = 0; w < n_w; ++w) {
+      workers.emplace_back([&, w]() {
+        for (int64_t c = w; c < n_clips; c += n_w) pack_clip(c);
+      });
+    }
+    for (auto& t : workers) t.join();
+  }
+
+  close_npy(resnet);
+  close_npy(bn);
+  return 0;
+}
+
+// Probe a video's feature length without loading data (for fix_missing /
+// sanity checks).  Returns rows, or -1 if unreadable.
+int64_t svpc_npy_rows(const char* path) {
+  NpyArray a = open_npy(path);
+  const int64_t rows = a.ok ? a.rows : -1;
+  close_npy(a);
+  return rows;
+}
+
+}  // extern "C"

@@ -62,10 +62,15 @@ def bce_sum(probs: jnp.ndarray, targets: jnp.ndarray,
     Matches ``nn.BCELoss(reduction="sum")`` (model.py:871) including torch's
     clamp of log outputs at -100.
     """
-    # torch computes log(p) directly and clamps at -100; log(0) -> -inf -> -100
-    logp = jnp.maximum(jnp.where(probs > 0, jnp.log(probs), -jnp.inf), -100.0)
-    log1mp = jnp.maximum(
-        jnp.where(probs < 1, jnp.log1p(-probs), -jnp.inf), -100.0)
+    # torch clamps log outputs at -100.  Clamping the log *input* instead of
+    # branching keeps gradients finite at p∈{0,1} (a `where` with log(0) in
+    # the untaken branch still produces NaN gradients under jax.grad).  The
+    # floor must be a *normal* f32 (1/denormal overflows to inf in the
+    # backward); log(1e-35)≈-80.6, so values only deviate from torch's -100
+    # clamp when a sigmoid emits < 1e-35 — i.e. a logit below -80.
+    tiny = 1e-35
+    logp = jnp.maximum(jnp.log(jnp.maximum(probs, tiny)), -100.0)
+    log1mp = jnp.maximum(jnp.log(jnp.maximum(1.0 - probs, tiny)), -100.0)
     loss = -(targets * logp + (1.0 - targets) * log1mp)
     if mask is not None:
         loss = loss * mask
@@ -95,7 +100,10 @@ def asymmetric_loss_sum(
     loss = los_pos + los_neg
     pt = xs_pos * targets + xs_neg * (1.0 - targets)
     gamma = gamma_pos * targets + gamma_neg * (1.0 - targets)
-    loss = loss * jnp.power(1.0 - pt, gamma)
+    # array-exponent pow lowers to exp(gamma*log(base)); clamp the base so
+    # base->0 keeps gradients finite (value is identical within f32)
+    base = jnp.maximum(1.0 - pt, 1e-38)
+    loss = loss * jnp.power(base, gamma)
     if row_mask is not None:
         loss = loss * row_mask[..., None]
     return -jnp.sum(loss)

@@ -1,0 +1,226 @@
+"""End-to-end training loop.
+
+Mirrors the reference driver (src/train.py:334-460): per-epoch training,
+teacher-forced validation on the EMA model, greedy decoding + language
+metrics, best-by-CIDEr checkpointing with early stopping — but batched,
+jit-compiled, and data-parallel over a device mesh.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svpc_tpu.config import Config
+from svpc_tpu.data.pipeline import CaptionDataset
+from svpc_tpu.decode.greedy import greedy_decode
+from svpc_tpu.decode.postprocess import (
+    batch_to_sentences, build_submission, collect_results)
+from svpc_tpu.evaluation.para_eval import evaluate_submission
+from svpc_tpu.model import SVPCModel
+from svpc_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from svpc_tpu.precision import precision_scope
+from svpc_tpu.train.optim import make_optimizer
+from svpc_tpu.train.state import TrainState, save_checkpoint
+from svpc_tpu.train.step import aggregate_metrics, make_eval_step, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+def load_glove_into(params, glove_path: str, verb_glove_path: str,
+                    model_mode: str):
+    """GloVe initialization of the word/ingredient/verb embedding tables
+    (reference train.py:691-714).  Accepts .npy or torch-saved .pt files."""
+
+    def load_matrix(path):
+        if path.endswith(".npy"):
+            return np.load(path).astype(np.float32)
+        import torch
+        return np.asarray(torch.load(path, weights_only=False),
+                          dtype=np.float32)
+
+    p = params["params"]
+    if glove_path:
+        glove = load_matrix(glove_path)
+        p["text_embeddings"]["word_embeddings"]["embedding"] = glove
+        if "ingredient_embeddings" in p:
+            p["ingredient_embeddings"]["word_embeddings"]["embedding"] = \
+                glove.copy()
+    if verb_glove_path and model_mode in ("full", "reason_copy"):
+        verb = load_matrix(verb_glove_path)
+        p["reasoner"]["action_embeddings"] = verb
+        if model_mode == "full":
+            p["recipe_reasoner"]["action_embeddings"] = verb.copy()
+    return params
+
+
+def init_model(cfg: Config, sample_batch, rng_seed: int = None):
+    seed = cfg.train.seed if rng_seed is None else rng_seed
+    model = SVPCModel(cfg.model)
+    rngs = {"params": jax.random.PRNGKey(seed),
+            "dropout": jax.random.PRNGKey(seed + 1),
+            "gumbel": jax.random.PRNGKey(seed + 2)}
+    jbatch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
+    with precision_scope(cfg.model):
+        params = model.init(rngs, jbatch, deterministic=True)
+    return model, params
+
+
+def run_greedy_eval(model, params, dataset: CaptionDataset, cfg: Config,
+                    mesh=None, max_batches: Optional[int] = None) -> dict:
+    """Greedy-decode a whole dataset into a submission dict."""
+    jit_decode = jax.jit(
+        lambda p, b: greedy_decode(model, p, b))
+    results = None
+    n = 0
+    with precision_scope(cfg.model):
+        for batch, metas in dataset.batches(cfg.train.val_batch_size,
+                                            shuffle=False):
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+            ids = np.asarray(jit_decode(params, batch))
+            sentences = batch_to_sentences(ids, metas, dataset.vocab)
+            results = collect_results(sentences, metas, results)
+            n += 1
+            if max_batches and n >= max_batches:
+                break
+    return build_submission(results or {})
+
+
+def train(cfg: Config, workdir: str,
+          max_steps_per_epoch: Optional[int] = None,
+          eval_language: bool = True) -> Dict:
+    os.makedirs(workdir, exist_ok=True)
+    cfg.to_json(os.path.join(workdir, "config.json"))
+
+    train_ds = CaptionDataset(cfg, "train")
+    val_ds = CaptionDataset(cfg, "val")
+    logger.info("train videos: %d, val videos: %d", len(train_ds), len(val_ds))
+
+    mesh = make_mesh(cfg.train.dp_size, cfg.train.tp_size) \
+        if cfg.train.dp_size > 1 else None
+
+    sample_batch, _ = next(iter(train_ds.batches(cfg.train.batch_size)))
+    model, params = init_model(cfg, sample_batch)
+    params = load_glove_into(params, cfg.data.glove_path,
+                             cfg.data.verb_glove_path, cfg.model.model_mode)
+
+    steps_per_epoch = math.ceil(len(train_ds) / cfg.train.batch_size)
+    tx = make_optimizer(cfg.train, steps_per_epoch)
+    state = TrainState.create(params, tx, use_ema=cfg.train.ema_decay > 0)
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    train_step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
+    eval_step = jax.jit(make_eval_step(model, cfg))
+    rng = jax.random.PRNGKey(cfg.train.seed)
+
+    # csv logs, same columns as the reference (train.py:370-372)
+    train_log = open(os.path.join(workdir, "train.log.csv"), "w")
+    valid_log = open(os.path.join(workdir, "valid.log.csv"), "w")
+    train_log.write("epoch,loss,ppl,accuracy\n")
+    valid_log.write("epoch,loss,ppl,accuracy,METEOR,BLEU@4,CIDEr,re4\n")
+
+    ref_para_path = os.path.join(
+        cfg.data.data_dir, "yc2_split_val_anet_format_para.json")
+
+    best_cider = 0.0
+    es_cnt = 0
+    history = []
+    with precision_scope(cfg.model):
+        for epoch in range(cfg.train.n_epoch):
+            t0 = time.time()
+            metrics = []
+            for i, (batch, _) in enumerate(train_ds.batches(
+                    cfg.train.batch_size, shuffle=True,
+                    seed=cfg.train.seed + epoch)):
+                if mesh is not None:
+                    batch = shard_batch(mesh, batch)
+                state, m = train_step(state, batch, rng)
+                metrics.append(m)
+                if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
+                    break
+            train_m = aggregate_metrics(jax.device_get(metrics))
+            logger.info(
+                "[epoch %d] train ppl %.4f acc %.3f (%.1fs)", epoch,
+                math.exp(min(train_m["loss_per_word"], 100)),
+                100 * train_m["acc"], time.time() - t0)
+            train_log.write(f"{epoch},{train_m['loss_per_word']:.5f},"
+                            f"{math.exp(min(train_m['loss_per_word'], 100)):.5f},"
+                            f"{100 * train_m['acc']:.3f}\n")
+
+            # teacher-forced validation on EMA params
+            eval_params = state.eval_params()
+            vmetrics = []
+            for j, (batch, _) in enumerate(val_ds.batches(
+                    cfg.train.val_batch_size)):
+                if mesh is not None:
+                    batch = shard_batch(mesh, batch)
+                vmetrics.append(eval_step(eval_params, batch,
+                                          jax.random.PRNGKey(epoch)))
+                if max_steps_per_epoch and j + 1 >= max_steps_per_epoch:
+                    break
+            val_m = aggregate_metrics(jax.device_get(vmetrics))
+
+            # greedy decode + language metrics
+            lang = {}
+            if eval_language:
+                submission = run_greedy_eval(
+                    model, eval_params, val_ds, cfg, mesh,
+                    max_batches=max_steps_per_epoch)
+                sub_path = os.path.join(
+                    workdir, f"greedy_pred_val_epoch{epoch}.json")
+                with open(sub_path, "w") as f:
+                    json.dump(submission, f, indent=2)
+                lang = evaluate_submission(submission, ref_para_path)
+                logger.info(
+                    "[epoch %d] val METEOR %.2f B4 %.2f CIDEr %.2f re4 %.2f",
+                    epoch, 100 * lang.get("METEOR", 0),
+                    100 * lang["Bleu_4"], 100 * lang["CIDEr"],
+                    100 * lang["re4"])
+            valid_log.write(
+                f"{epoch},{val_m['loss_per_word']:.5f},"
+                f"{math.exp(min(val_m['loss_per_word'], 100)):.5f},"
+                f"{100 * val_m['acc']:.3f},"
+                f"{100 * lang.get('METEOR', 0):.2f},"
+                f"{100 * lang.get('Bleu_4', 0):.2f},"
+                f"{100 * lang.get('CIDEr', 0):.2f},"
+                f"{100 * lang.get('re4', 0):.2f}\n")
+            train_log.flush(); valid_log.flush()
+            history.append(dict(epoch=epoch, train=train_m, val=val_m,
+                                lang={k: v for k, v in lang.items()
+                                      if isinstance(v, (int, float))}))
+
+            cider = lang.get("CIDEr", -1.0)
+            # always keep a resumable latest checkpoint (the reference
+            # cannot resume mid-training at all — SURVEY §5)
+            save_checkpoint(workdir, jax.device_get(state), cfg,
+                            name="checkpoint_last")
+            if cfg.train.save_mode == "all":
+                save_checkpoint(workdir, jax.device_get(state), cfg,
+                                name=f"checkpoint_e{epoch}")
+            elif cider > best_cider:
+                best_cider = cider
+                es_cnt = 0
+                save_checkpoint(workdir, jax.device_get(state), cfg,
+                                name="checkpoint_best")
+            else:
+                es_cnt += 1
+                if es_cnt > cfg.train.max_es_cnt:
+                    logger.info("early stop at epoch %d (best CIDEr %.4f)",
+                                epoch, best_cider)
+                    break
+
+    train_log.close(); valid_log.close()
+    with open(os.path.join(workdir, "history.json"), "w") as f:
+        json.dump(history, f, indent=2)
+    return dict(best_cider=best_cider, history=history, state=state,
+                model=model)

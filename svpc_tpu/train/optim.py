@@ -1,0 +1,145 @@
+"""Optimization: BertAdam-equivalent optax chain + EMA.
+
+Reference: src/rtransformer/optimization.py —
+  * BertAdam (:219-338): Adam with NO bias correction, per-parameter
+    gradient-norm clipping (1.0) inside the step, decoupled weight decay
+    added to the update, schedule multiplier applied per step;
+  * LR schedules (:35-180): warmup_linear / warmup_constant /
+    warmup_cosine / constant;
+  * EMA (:183-216): shadow params with warmup-aware decay
+    ``min(decay, (1+step)/(10+step))``.
+
+The reference train loop additionally applies a *global* grad-norm clip of
+1.0 before the step (train.py:141-142); both clips are reproduced.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from svpc_tpu.config import TrainConfig
+
+
+def lr_schedule_fn(schedule: str, warmup: float, t_total: int) -> Callable:
+    """Multiplier as a function of step (reference optimization.py:53-180)."""
+    warmup = max(warmup, 0.0)
+
+    def mult(step):
+        if t_total < 0:
+            return jnp.asarray(1.0)
+        progress = step / t_total
+        if schedule in (None, "none", "constant"):
+            return jnp.asarray(1.0)
+        if schedule == "warmup_constant":
+            return jnp.where(progress < warmup, progress / warmup, 1.0)
+        if schedule == "warmup_linear":
+            return jnp.where(
+                progress < warmup, progress / warmup,
+                jnp.maximum((progress - 1.0) / (warmup - 1.0), 0.0))
+        if schedule == "warmup_cosine":
+            after = (progress - warmup) / (1.0 - warmup)
+            return jnp.where(
+                progress < warmup, progress / warmup,
+                0.5 * (1.0 + jnp.cos(jnp.pi * after)))
+        raise ValueError(f"unknown schedule {schedule}")
+
+    return mult
+
+
+class BertAdamState(NamedTuple):
+    step: jnp.ndarray
+    m: Any
+    v: Any
+
+
+def _decay_mask(params) -> Any:
+    """True where weight decay applies.  Reference excludes parameters
+    whose torch name contains 'bias' or 'LayerNorm.weight'
+    (train.py:339-343); in our tree those are exactly the leaves named
+    'bias' and the layernorm 'scale' leaves."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def leaf_decays(path) -> bool:
+        leaf_name = None
+        for p in reversed(path):
+            if hasattr(p, "key"):
+                leaf_name = p.key
+                break
+        return leaf_name not in ("bias", "scale")
+
+    leaves = [leaf_decays(path) for path, _ in flat]
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def bert_adam(
+    lr: float,
+    schedule: str = "warmup_linear",
+    warmup: float = 0.1,
+    t_total: int = -1,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-6,
+    weight_decay: float = 0.01,
+    max_grad_norm: float = 1.0,
+) -> optax.GradientTransformation:
+    sched = lr_schedule_fn(schedule, warmup, t_total)
+
+    def init_fn(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return BertAdamState(step=jnp.zeros((), jnp.int32), m=zeros,
+                             v=jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(grads, state, params):
+        assert params is not None
+        decay_mask = _decay_mask(params)
+
+        def clip(g):
+            if max_grad_norm <= 0:
+                return g
+            norm = jnp.sqrt(jnp.sum(jnp.square(g)))
+            scale = jnp.minimum(1.0, max_grad_norm / (norm + 1e-6))
+            return g * scale
+
+        grads = jax.tree.map(clip, grads)
+        m = jax.tree.map(lambda mm, g: b1 * mm + (1 - b1) * g, state.m, grads)
+        v = jax.tree.map(lambda vv, g: b2 * vv + (1 - b2) * g * g,
+                         state.v, grads)
+        lr_t = lr * sched(state.step.astype(jnp.float32))
+
+        def upd(mm, vv, p, decays):
+            u = mm / (jnp.sqrt(vv) + eps)
+            if weight_decay > 0:
+                u = u + weight_decay * p * (1.0 if decays else 0.0)
+            return -lr_t * u
+
+        updates = jax.tree.map(upd, m, v, params, decay_mask)
+        return updates, BertAdamState(step=state.step + 1, m=m, v=v)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int
+                   ) -> optax.GradientTransformation:
+    """Global clip (train.py:141-142) then BertAdam."""
+    t_total = steps_per_epoch * cfg.n_epoch
+    chain = []
+    if cfg.grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+    chain.append(bert_adam(
+        lr=cfg.lr, schedule=cfg.lr_schedule, warmup=cfg.lr_warmup_proportion,
+        t_total=t_total, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
+        weight_decay=cfg.weight_decay))
+    return optax.chain(*chain)
+
+
+def ema_update(shadow, params, step, decay: float):
+    """shadow <- (1-d)*param + d*shadow, d = min(decay, (1+step)/(10+step))
+    (reference optimization.py:196-203; step is the global iteration)."""
+    d = jnp.minimum(decay, (1.0 + step) / (10.0 + step))
+    return jax.tree.map(lambda s, p: (1.0 - d) * p + d * s, shadow, params)

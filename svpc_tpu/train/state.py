@@ -1,0 +1,77 @@
+"""Training state + checkpointing.
+
+Unlike the reference (which saves only model weights — no optimizer/EMA
+state, so no true mid-training resume; train.py:401-405), checkpoints here
+carry params, optimizer moments, EMA shadow, step and epoch, enabling
+exact resume.  Orbax is used for async-capable, sharding-aware IO.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from svpc_tpu.config import Config
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    ema_shadow: Any          # None disables EMA
+    step: jnp.ndarray        # global iteration counter (niter)
+    epoch: jnp.ndarray
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation,
+               use_ema: bool) -> "TrainState":
+        return cls(
+            params=params,
+            opt_state=tx.init(params["params"]),
+            ema_shadow=jax.tree.map(jnp.copy, params["params"]) if use_ema else None,
+            step=jnp.zeros((), jnp.int32),
+            epoch=jnp.zeros((), jnp.int32),
+        )
+
+    def eval_params(self):
+        """Parameters used for evaluation: the EMA shadow when enabled
+        (reference evaluates the EMA-assigned model, train.py:393-395)."""
+        if self.ema_shadow is None:
+            return self.params
+        return {"params": self.ema_shadow}
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, cfg: Config,
+                    name: str = "checkpoint") -> str:
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    ckptr = ocp.StandardCheckpointer()
+    payload = dict(
+        params=state.params, opt_state=state.opt_state,
+        ema_shadow=state.ema_shadow, step=state.step, epoch=state.epoch)
+    payload = {k: v for k, v in payload.items() if v is not None}
+    if os.path.exists(path):
+        import shutil
+        shutil.rmtree(path)
+    ckptr.save(path, payload)
+    ckptr.wait_until_finished()
+    cfg.to_json(path + ".cfg.json")
+    return path
+
+
+def load_checkpoint(path: str, state: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    template = dict(
+        params=state.params, opt_state=state.opt_state,
+        ema_shadow=state.ema_shadow, step=state.step, epoch=state.epoch)
+    template = {k: v for k, v in template.items() if v is not None}
+    restored = ckptr.restore(os.path.abspath(path), template)
+    return state.replace(**restored)

@@ -1,0 +1,127 @@
+"""jit-compiled train / eval steps with metric accumulation.
+
+Metrics reproduce the reference bookkeeping: token accuracy over valid
+label positions (train.py:32-38), thresholded entity/action P/R counts
+(train.py:40-49).  Losses keep the reference's sum semantics, so
+data-parallel training sums per-shard losses with ``psum`` — numerically
+identical to the single-device reference run.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from svpc_tpu import tokenization as tok
+from svpc_tpu.config import Config
+from svpc_tpu.train.optim import ema_update
+from svpc_tpu.train.state import TrainState
+
+
+def batch_metrics(out, batch, cfg) -> Dict[str, jnp.ndarray]:
+    """Sum-counts for the epoch aggregator."""
+    Lv = cfg.model.max_v_len
+    labels = batch["input_labels"][:, :, Lv:]
+    if cfg.model.model_mode == "video":
+        labels = jnp.where(labels >= cfg.model.vocab_size, tok.UNK, labels)
+    pred = jnp.argmax(out.prediction_scores, axis=-1)
+    valid = labels != tok.IGNORE
+    n_correct = jnp.sum((pred == labels) & valid)
+    n_word = jnp.sum(valid)
+
+    metrics = dict(
+        loss=out.total_loss, caption_loss=out.caption_loss,
+        n_correct=n_correct, n_word=n_word,
+    )
+    if out.ent_probs is not None:
+        sup = (batch["step_mask"][..., None]
+               * batch["entity_mask"][:, None, :])
+        p = (out.ent_probs > 0.5) & (sup > 0)
+        metrics.update(
+            ent_correct=jnp.sum(batch["alignment"] * p),
+            ent_recall=jnp.sum(batch["alignment"] * sup),
+            ent_precision=jnp.sum(p),
+        )
+        row = batch["step_mask"][..., None]
+        pa = (out.ac_probs > 0.5) & (row > 0)
+        metrics.update(
+            ac_correct=jnp.sum(batch["action"] * pa),
+            ac_recall=jnp.sum(batch["action"] * row),
+            ac_precision=jnp.sum(pa),
+        )
+    return metrics
+
+
+def make_train_step(model, tx: optax.GradientTransformation, cfg: Config):
+    ema_decay = cfg.train.ema_decay
+
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        dropout_rng, gumbel_rng = jax.random.split(
+            jax.random.fold_in(rng, state.step))
+
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p}, batch, deterministic=False,
+                rngs={"dropout": dropout_rng, "gumbel": gumbel_rng})
+            return out.total_loss, out
+
+        grads, out = jax.grad(loss_fn, has_aux=True)(state.params["params"])
+        updates, new_opt = tx.update(grads, state.opt_state,
+                                     state.params["params"])
+        new_params = optax.apply_updates(state.params["params"], updates)
+
+        new_shadow = state.ema_shadow
+        if new_shadow is not None and ema_decay > 0:
+            new_shadow = ema_update(
+                new_shadow, new_params, state.step.astype(jnp.float32),
+                ema_decay)
+
+        metrics = batch_metrics(out, batch, cfg)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            params={"params": new_params}, opt_state=new_opt,
+            ema_shadow=new_shadow, step=state.step + 1)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, cfg: Config):
+    def eval_step(params, batch, rng) -> Dict:
+        out = model.apply(params, batch, deterministic=True,
+                          rngs={"gumbel": rng})
+        return batch_metrics(out, batch, cfg)
+
+    return eval_step
+
+
+def aggregate_metrics(metric_list) -> Dict[str, float]:
+    """Epoch-level aggregation mirroring the reference logs."""
+    sums: Dict[str, float] = {}
+    for m in metric_list:
+        for k, v in m.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+    n_word = max(sums.get("n_word", 1.0), 1.0)
+    out = dict(
+        loss_per_word=sums.get("loss", 0.0) / n_word,
+        acc=sums.get("n_correct", 0.0) / n_word,
+    )
+
+    def f1(c, r, p):
+        recall = c / r if r else 0.0
+        precision = c / p if p else 0.0
+        if recall == 0 and precision == 0:
+            return dict(recall=0.0, precision=0.0, f1=0.0)
+        return dict(recall=recall, precision=precision,
+                    f1=2 * recall * precision / (recall + precision))
+
+    if "ent_correct" in sums:
+        out["entity"] = f1(sums["ent_correct"], sums["ent_recall"],
+                           sums["ent_precision"])
+        out["action"] = f1(sums["ac_correct"], sums["ac_recall"],
+                           sums["ac_precision"])
+    return out
