@@ -78,13 +78,17 @@ def main():
     cfg = config_from_args(args)
     if cfg.model.model_mode not in ("full", "reason_copy"):
         raise SystemExit("memory dump requires model_type vivt or viv")
+    if not os.path.exists(args.checkpoint):
+        raise SystemExit(f"checkpoint not found: {args.checkpoint}")
     os.makedirs(args.output_dir, exist_ok=True)
 
     ds = CaptionDataset(cfg, args.split)
     sample, _ = next(iter(ds.batches(cfg.train.val_batch_size)))
-    model, params = init_model(cfg, sample)
+    model, params = init_model(cfg, sample, abstract=True)
+    import functools
     tx = make_optimizer(cfg.train, 1)
-    state = TrainState.create(params, tx, use_ema=cfg.train.ema_decay > 0)
+    state = jax.eval_shape(functools.partial(
+        TrainState.create, tx=tx, use_ema=cfg.train.ema_decay > 0), params)
     state = load_checkpoint(args.checkpoint, state)
 
     dump = dump_memories(model, state.eval_params(), ds, cfg)

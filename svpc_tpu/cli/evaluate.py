@@ -40,13 +40,18 @@ def main():
     p.add_argument("--ingredient_f1", action="store_true")
     args = p.parse_args()
     cfg = config_from_args(args)
+    if not os.path.exists(args.checkpoint):
+        raise SystemExit(f"checkpoint not found: {args.checkpoint}")
     os.makedirs(args.output_dir, exist_ok=True)
 
     ds = CaptionDataset(cfg, args.split)
     sample, _ = next(iter(ds.batches(cfg.train.val_batch_size)))
-    model, params = init_model(cfg, sample)
+    # abstract init: no forward compile just to build a restore template
+    model, params = init_model(cfg, sample, abstract=True)
+    import functools
     tx = make_optimizer(cfg.train, 1)
-    state = TrainState.create(params, tx, use_ema=cfg.train.ema_decay > 0)
+    state = jax.eval_shape(functools.partial(
+        TrainState.create, tx=tx, use_ema=cfg.train.ema_decay > 0), params)
     state = load_checkpoint(args.checkpoint, state)
     eval_params = state.eval_params()
 

@@ -62,7 +62,13 @@ def load_glove_into(params, glove_path: str, verb_glove_path: str,
     return params
 
 
-def init_model(cfg: Config, sample_batch, rng_seed: int = None):
+def init_model(cfg: Config, sample_batch, rng_seed: int = None,
+               abstract: bool = False):
+    """Build the model and its params.
+
+    ``abstract=True`` returns a ShapeDtypeStruct pytree via eval_shape (no
+    compile, no device memory) — the right template for checkpoint restore.
+    """
     seed = cfg.train.seed if rng_seed is None else rng_seed
     model = SVPCModel(cfg.model)
     rngs = {"params": jax.random.PRNGKey(seed),
@@ -70,7 +76,11 @@ def init_model(cfg: Config, sample_batch, rng_seed: int = None):
             "gumbel": jax.random.PRNGKey(seed + 2)}
     jbatch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
     with precision_scope(cfg.model):
-        params = model.init(rngs, jbatch, deterministic=True)
+        if abstract:
+            params = jax.eval_shape(
+                lambda: model.init(rngs, jbatch, deterministic=True))
+        else:
+            params = model.init(rngs, jbatch, deterministic=True)
     return model, params
 
 
