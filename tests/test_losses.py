@@ -1,0 +1,99 @@
+"""Loss-function parity against torch implementations."""
+
+import numpy as np
+import pytest
+
+from tests import reference_bridge as rb
+
+pytestmark = pytest.mark.skipif(
+    not rb.reference_available(), reason="reference repo not mounted")
+
+
+def test_bce_sum_matches_torch():
+    import torch
+    import jax.numpy as jnp
+    from svpc_tpu.ops.losses import bce_sum
+
+    rng = np.random.RandomState(0)
+    p = rng.rand(5, 7).astype(np.float32)
+    y = (rng.rand(5, 7) < 0.3).astype(np.float32)
+    ref = torch.nn.BCELoss(reduction="sum")(
+        torch.from_numpy(p), torch.from_numpy(y)).item()
+    got = float(bce_sum(jnp.asarray(p), jnp.asarray(y)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    # extremes: p=0 target=0 and p=1 target=1 contribute 0
+    p2 = np.array([[0.0, 1.0]], np.float32)
+    y2 = np.array([[0.0, 1.0]], np.float32)
+    assert float(bce_sum(jnp.asarray(p2), jnp.asarray(y2))) == 0.0
+
+
+def test_asymmetric_loss_matches_reference():
+    from tools.reference_harness import install_patches
+    install_patches()
+    import torch
+    import jax.numpy as jnp
+    from libs.ASL.src.loss_functions.losses import AsymmetricLoss
+    from svpc_tpu.ops.losses import asymmetric_loss_sum
+
+    rng = np.random.RandomState(1)
+    p = rng.rand(6, 9).astype(np.float32)
+    y = (rng.rand(6, 9) < 0.2).astype(np.float32)
+    ref = AsymmetricLoss()(torch.from_numpy(p), torch.from_numpy(y)).item()
+    got = float(asymmetric_loss_sum(jnp.asarray(p), jnp.asarray(y)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+    # row masking equals torch row selection (model.py:1103-1104)
+    row_mask = np.array([1, 0, 1, 1, 0, 1], np.float32)
+    ref_rows = AsymmetricLoss()(
+        torch.from_numpy(p[row_mask > 0]), torch.from_numpy(y[row_mask > 0])
+    ).item()
+    got_rows = float(asymmetric_loss_sum(
+        jnp.asarray(p), jnp.asarray(y), jnp.asarray(row_mask)))
+    np.testing.assert_allclose(got_rows, ref_rows, rtol=1e-4)
+
+
+def test_label_smoothing_matches_reference():
+    """Against the reference LabelSmoothingLoss including its quirks."""
+    from tools.reference_harness import install_patches
+    install_patches()
+    import torch
+    import jax.numpy as jnp
+    import sys
+    sys.path.insert(0, rb.REFERENCE_ROOT)
+    from src.rtransformer.model import LabelSmoothingLoss
+    from svpc_tpu.ops.losses import label_smoothing_kl
+
+    rng = np.random.RandomState(2)
+    n, c_actual, c_pad = 12, 20, 26
+    probs = rng.rand(n, c_actual).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    labels = rng.randint(0, c_actual, size=n).astype(np.int64)
+    labels[3] = -1  # IGNORE row
+    labels[5] = c_actual - 1  # gold in the quirk-zeroed last column
+
+    ref = LabelSmoothingLoss(0.1, c_actual, ignore_index=-1)(
+        torch.from_numpy(probs), torch.from_numpy(labels)).item()
+
+    padded = np.zeros((n, c_pad), np.float32)
+    padded[:, :c_actual] = probs
+    got = float(label_smoothing_kl(
+        jnp.asarray(padded), jnp.asarray(labels.astype(np.int32)),
+        jnp.asarray(c_actual, jnp.int32), 0.1))
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+def test_gumbel_st_matches_torch_with_same_noise():
+    """With zero noise both implementations give softmax(logits/tau) with a
+    straight-through argmax one-hot."""
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.ops.gumbel import gumbel_softmax_st
+
+    rng = np.random.RandomState(3)
+    logits = rng.randn(4, 10).astype(np.float32)
+    out = gumbel_softmax_st(jax.random.PRNGKey(0), jnp.asarray(logits), 0.5)
+    # hard one-hot rows
+    arr = np.asarray(out)
+    assert np.allclose(arr.sum(-1), 1.0, atol=1e-5)
+    assert ((arr == arr.max(-1, keepdims=True)).sum(-1) == 1).all()

@@ -1,0 +1,51 @@
+"""Data-parallel correctness: the dp=8 mesh must produce the same loss and
+gradients as single-device execution (losses are sums, so this is exact up
+to reduction order)."""
+
+import numpy as np
+import pytest
+
+
+def test_dp_loss_matches_single_device():
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.config import tiny_test_config
+    from svpc_tpu.data.synthetic import synthetic_batch
+    from svpc_tpu.model import SVPCModel
+    from svpc_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+
+    cfg = tiny_test_config("reason_copy")
+    model = SVPCModel(cfg.model)
+    batch_np = synthetic_batch(cfg, batch_size=8, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    params = model.init(rngs, batch, deterministic=True)
+
+    def loss_fn(p, b):
+        return model.apply(p, b, deterministic=True,
+                           rngs={"gumbel": jax.random.PRNGKey(3)}).total_loss
+
+    single = jax.jit(loss_fn)(params, batch)
+    grads_single = jax.jit(jax.grad(lambda p, b: loss_fn(p, b)))(params, batch)
+
+    mesh = make_mesh(dp_size=8)
+    params_r = replicate(mesh, params)
+    batch_s = shard_batch(mesh, batch_np)
+    dp = jax.jit(loss_fn)(params_r, batch_s)
+    grads_dp = jax.jit(jax.grad(lambda p, b: loss_fn(p, b)))(params_r, batch_s)
+
+    np.testing.assert_allclose(float(dp), float(single), rtol=1e-5)
+    flat_s = jax.tree.leaves(grads_single)
+    flat_d = jax.tree.leaves(grads_dp)
+    for a, b in zip(flat_s, flat_d):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
