@@ -28,20 +28,27 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
-    q = q_ref[0, 0]                   # (Lq, dh)
-    k = k_ref[0, 0]                   # (Lk, dh)
-    v = v_ref[0, 0]                   # (Lk, dh)
-    m = mask_ref[0]                   # (Lq, Lk) float 1/0
+    """One grid cell = a block of sequences, all heads batched on the MXU."""
+    bn, nh, lq, dh = q_ref.shape
+    lk = k_ref.shape[2]
+    q = q_ref[:].reshape(bn * nh, lq, dh)
+    k = k_ref[:].reshape(bn * nh, lk, dh)
+    v = v_ref[:].reshape(bn * nh, lk, dh)
+    m = mask_ref[:]                   # (bn, Lq, Lk) float 1/0
 
     scores = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    scores = scores * scale + (1.0 - m.astype(jnp.float32)) * -10000.0
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # (bn*nh, Lq, Lk)
+    add = ((1.0 - m.astype(jnp.float32)) * -10000.0)[:, None, :, :]
+    scores = scores.reshape(bn, nh, lq, lk) * scale + add
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores)
-    probs = e / jnp.sum(e, axis=-1, keepdims=True)
-    o_ref[0, 0] = jnp.dot(probs.astype(v.dtype), v,
-                          preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    probs = (e / jnp.sum(e, axis=-1, keepdims=True)).reshape(bn * nh, lq, lk)
+    out = jax.lax.dot_general(
+        probs.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # (bn*nh, Lq, dh)
+    o_ref[:] = out.reshape(bn, nh, lq, dh).astype(o_ref.dtype)
 
 
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -70,21 +77,36 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     vh = pad(v.reshape(n, lk, num_heads, dh).transpose(0, 2, 1, 3), lk_p, 2)
     mh = pad(pad(mask, lq_p, 1), lk_p, 2)
 
-    grid = (n, num_heads)
+    # block of sequences per grid step: amortizes DMA, keeps VMEM bounded.
+    # budget = double-buffered in/out blocks + the f32 score scratch
+    bytes_el = 2 if q.dtype == jnp.bfloat16 else 4
+    bn = 1
+    for cand in (8, 4, 2, 1):
+        if n % cand != 0:
+            continue
+        blocks = cand * num_heads * dh * (lq_p * 2 + lk_p * 2) * bytes_el \
+            + cand * lq_p * lk_p * 4
+        scratch = cand * num_heads * lq_p * lk_p * 4
+        if 2 * blocks + scratch < 12_000_000:
+            bn = cand
+            break
+
+    grid = (n // bn,)
     out = pl.pallas_call(
         functools.partial(_mha_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, lq_p, dh), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((bn, num_heads, lq_p, dh), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lk_p, dh), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((bn, num_heads, lk_p, dh), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lk_p, dh), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((bn, num_heads, lk_p, dh), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lq_p, lk_p), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((bn, lq_p, lk_p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, lq_p, dh), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((bn, num_heads, lq_p, dh),
+                               lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, num_heads, lq_p, dh), q.dtype),
         cost_estimate=pl.CostEstimate(
