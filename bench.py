@@ -58,7 +58,10 @@ def main():
 
     batch_np = synthetic_batch(cfg, batch_size=batch_size, seed=0)
     if baseline and baseline.get("step_counts"):
-        counts = baseline["step_counts"][:batch_size]
+        # same per-video clip distribution as the measured baseline batch,
+        # tiled to our batch size — clips/sec counts identical real work
+        src = baseline["step_counts"]
+        counts = (src * (batch_size // len(src) + 1))[:batch_size]
         for b, c in enumerate(counts):
             batch_np["step_mask"][b] = 0.0
             batch_np["step_mask"][b, :c] = 1.0
@@ -78,14 +81,15 @@ def main():
                              donate_argnums=0)
         rng = jax.random.PRNGKey(3)
 
-        # warmup / compile
+        # warmup / compile.  NOTE: block_until_ready is a no-op on the
+        # experimental axon platform — force a host transfer to sync.
         state, m = train_step(state, batch, rng)
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])
 
         t0 = time.perf_counter()
         for _ in range(iters):
             state, m = train_step(state, batch, rng)
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])
         dt = (time.perf_counter() - t0) / iters
 
     clips_per_sec = total_clips / dt

@@ -56,9 +56,8 @@ def greedy_decode(model, params, batch, rngs=None) -> jnp.ndarray:
         text_mask = jax.lax.dynamic_update_index_in_dim(
             text_mask, jnp.ones((B, S), jnp.float32), t, axis=2)
 
-        probs = model.apply(params, batch, state, text_ids, text_mask,
-                            deterministic=True, method=type(model).score_text)
-        cur = jax.lax.dynamic_index_in_dim(probs, t, axis=2, keepdims=False)
+        cur = model.apply(params, batch, state, text_ids, text_mask, t,
+                          method=type(model).score_position)
         cur = jnp.where(col_ok[:, None, :], cur, NEG)   # (B, S, C)
         nw = jnp.argmax(cur, axis=-1).astype(jnp.int32)  # (B, S)
         new_oov = nw

@@ -45,6 +45,8 @@ class WordFC(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic=True):
         cfg = self.cfg
+        if cfg.compute_dtype == "bfloat16":
+            x = x.astype(jnp.bfloat16)
         h = LayerNorm(cfg, name="ln_in")(x)
         h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
         h = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg),

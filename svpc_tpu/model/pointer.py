@@ -42,17 +42,21 @@ class PointerGenerator(nn.Module):
         B, S, T, H = decoder_outputs.shape
         C = cfg.extended_vocab_size
 
-        wing = nn.Dense(cfg.intermediate_size, kernel_init=init, name="wing")(
+        wing = nn.Dense(cfg.intermediate_size, kernel_init=init,
+                        dtype=ingr_vectors.dtype, name="wing")(
             ingr_vectors)  # (B,S,E,H)
-        attn_logits = jnp.einsum("bseh,bsth->bste", wing, decoder_outputs)
-        emask = entity_mask[:, None, None, :]
+        attn_logits = jnp.einsum("bseh,bsth->bste", wing, decoder_outputs,
+                                 preferred_element_type=jnp.float32)
+        emask = entity_mask.astype(jnp.float32)[:, None, None, :]
         attn_logits = jnp.where(emask > 0, attn_logits, NEG_INF)
-        attn = jax.nn.softmax(attn_logits, axis=-1)  # over entities
+        attn = jax.nn.softmax(attn_logits, axis=-1)  # over entities, f32
         attn = attn * emask  # zero all-invalid rows cleanly
 
-        attended = jnp.einsum("bste,bseh->bsth", attn, ingr_vectors)
+        attended = jnp.einsum("bste,bseh->bsth",
+                              attn.astype(ingr_vectors.dtype), ingr_vectors)
         p_gen = jax.nn.sigmoid(
-            nn.Dense(1, kernel_init=init, name="pgen")(
+            nn.Dense(1, kernel_init=init, dtype=decoder_outputs.dtype,
+                     name="pgen")(
                 jnp.concatenate([decoder_outputs, attended], axis=-1)))  # (B,S,T,1)
 
         gen = vocab_probs * p_gen

@@ -46,34 +46,39 @@ class EntityReasoner(nn.Module):
         slots, entity_mask (B,E)."""
         cfg = self.cfg
         init = dense_init(cfg)
+        dt = step_vectors.dtype
         B, S, H = step_vectors.shape
         E = entity_init.shape[1]
 
         # ---- per-step projections, batched outside the recurrence ----
         # (1) action selector (Eq.1)
-        h = nn.Dense(cfg.lstm_hidden_size, kernel_init=init,
+        h = nn.Dense(cfg.lstm_hidden_size, kernel_init=init, dtype=dt,
                      name="action_selector_0")(step_vectors)
         h = jax.nn.relu(h)
         h = nn.Dropout(0.4)(h, deterministic=deterministic)
         ac_probs = jax.nn.sigmoid(
-            nn.Dense(cfg.action_vocab_size, kernel_init=init,
+            nn.Dense(cfg.action_vocab_size, kernel_init=init, dtype=dt,
                      name="action_selector_1")(h))  # (B,S,A)
 
         action_table = self.param(
             "action_embeddings", nn.initializers.normal(cfg.initializer_range),
             (cfg.action_vocab_size, cfg.word_vec_size))
-        bar_ft = _safe_div(ac_probs, ac_probs.sum(-1, keepdims=True)) @ action_table
+        bar_ft = (_safe_div(ac_probs, ac_probs.sum(-1, keepdims=True))
+                  @ action_table.astype(dt))
 
         # (2) entity selector precomputations (Eq.2-3)
         hat_ht = jax.nn.relu(
-            nn.Dense(cfg.lstm_hidden_size, kernel_init=init, name="W1")(step_vectors))
-        w2_vec = nn.Dense(cfg.lstm_hidden_size, kernel_init=init, name="W2")(
+            nn.Dense(cfg.lstm_hidden_size, kernel_init=init, dtype=dt,
+                     name="W1")(step_vectors))
+        w2_vec = nn.Dense(cfg.lstm_hidden_size, kernel_init=init, dtype=dt,
+                          name="W2")(
             jnp.concatenate([hat_ht, ac_probs], axis=-1))  # (B,S,H)
         choice = jax.nn.softmax(
-            nn.Dense(3, kernel_init=init, name="W3")(hat_ht), axis=-1)  # (B,S,3)
+            nn.Dense(3, kernel_init=init, dtype=dt, name="W3")(hat_ht),
+            axis=-1)  # (B,S,3)
 
         # (3) updater precomputation (Eq.6): scalar gate from bar_f_t
-        w4 = nn.Dense(1, kernel_init=init, name="W4")(bar_ft)  # (B,S,1)
+        w4 = nn.Dense(1, kernel_init=init, dtype=dt, name="W4")(bar_ft)  # (B,S,1)
 
         emask = entity_mask.astype(step_vectors.dtype)  # (B,E)
 

@@ -66,6 +66,11 @@ class EncodedState(NamedTuple):
 class SVPCModel(nn.Module):
     cfg: ModelConfig
 
+    @property
+    def compute_dtype(self):
+        return (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
+                else jnp.float32)
+
     def setup(self):
         cfg = self.cfg
         self.ingredient_embeddings = IngredientEmbeddings(cfg)
@@ -74,10 +79,13 @@ class SVPCModel(nn.Module):
         self.token_type_embeddings = TokenTypeEmbeddings(cfg)
         self.encoder = Encoder(cfg)
         self.step_wise_encoder = Encoder(cfg)
+        dt = self.compute_dtype
         if cfg.model_mode in ("full", "reason_copy"):
             self.reasoner = EntityReasoner(cfg)
-            self.Wac = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg))
-            self.Went = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg))
+            self.Wac = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg),
+                                dtype=dt)
+            self.Went = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg),
+                                 dtype=dt)
         self.decoder = Decoder(cfg)
         self.decoder_classifier = LMPredictionHead(cfg)
         if cfg.model_mode in ("full", "reason_copy", "copy"):
@@ -100,13 +108,13 @@ class SVPCModel(nn.Module):
         cfg = self.cfg
         B, S, L = batch["input_ids"].shape
         Lv = cfg.max_v_len
-        vid_feat = batch["video_feature"][:, :, :Lv, :]
+        vid_feat = batch["video_feature"][:, :, :Lv, :].astype(self.compute_dtype)
         vid_ids = batch["input_ids"][:, :, :Lv]
         vid_mask = batch["input_mask"][:, :, :Lv]
 
         flat = lambda x: x.reshape((B * S,) + x.shape[2:])
         emb = self.video_embeddings(flat(vid_feat), deterministic)
-        emb = emb + self.token_type_embeddings(flat(vid_ids))
+        emb = emb + self.token_type_embeddings(flat(vid_ids)).astype(emb.dtype)
         enc = self.encoder(emb, flat(vid_mask), diagonal_mask=False,
                            deterministic=deterministic)      # (B*S, Lv, H)
         cls_vec = enc[:, 0, :].reshape(B, S, -1)              # (B, S, H)
@@ -131,7 +139,8 @@ class SVPCModel(nn.Module):
         if cfg.model_mode != "video":
             ingr_vectors = self.ingredient_embeddings(
                 batch["ingr_ids"], batch["ingr_sep_mask"], deterministic)
-            ingr_vectors = ingr_vectors * batch["entity_mask"][..., None]
+            ingr_vectors = ingr_vectors * batch["entity_mask"][..., None] \
+                .astype(ingr_vectors.dtype)
 
         if cfg.model_mode in ("full", "reason_copy"):
             reasoner_out = self.reasoner(
@@ -169,30 +178,31 @@ class SVPCModel(nn.Module):
     # decoding (teacher-forced and greedy share this scorer)
     # ------------------------------------------------------------------ #
 
-    def score_text(self, batch, state: EncodedState, text_ids, text_mask,
-                   deterministic=True) -> jnp.ndarray:
-        """Run the decoder + LM head (+ pointer-generator) over a text
-        hypothesis; returns (B, S, T, C) probabilities (C = V + max_oov;
-        columns beyond the actual extended size are zero).
-
-        Reference: decode (model.py:925-1015) minus the loss.
-        """
-        cfg = self.cfg
+    def decode_hidden(self, state: EncodedState, text_ids, text_mask,
+                      deterministic=True) -> jnp.ndarray:
+        """Run the causal decoder over a text hypothesis -> (B, S, T, H)."""
         B, S, T = text_ids.shape
         M = state.ga_inputs.shape[2]
-
         text_emb = self.text_embeddings(text_ids.reshape(B * S, T), deterministic)
         dec = self.decoder(
             text_emb, text_mask.reshape(B * S, T),
             state.ga_inputs.reshape(B * S, M, -1),
             jnp.ones((B * S, M), text_emb.dtype),
             deterministic=deterministic)                      # (B*S, T, H)
-        dec = dec.reshape(B, S, T, -1)
+        return dec.reshape(B, S, T, -1)
 
+    def head_probs(self, batch, state: EncodedState, dec) -> jnp.ndarray:
+        """LM head (+ pointer-generator) over decoder states
+        dec (B, S, T', H) -> (B, S, T', C) probabilities.  T' may be a
+        slice of positions — the head is positionwise, so scoring one
+        position is exactly equal to scoring all and slicing.
+        """
+        cfg = self.cfg
         shared = (self.text_embeddings.table
                   if cfg.share_wd_cls_weight else None)
         logits = self.decoder_classifier(dec, shared)
-        vocab_probs = jax.nn.softmax(logits, axis=-1)         # (B, S, T, V)
+        # probabilities always in f32 (loss/decode numerics)
+        vocab_probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
         if cfg.model_mode == "video":
             return jnp.pad(vocab_probs,
@@ -207,6 +217,27 @@ class SVPCModel(nn.Module):
         ext = (cfg.vocab_size + batch["oov_count"]).astype(jnp.int32)
         col_valid = (cols[None, :] < ext[:, None]).astype(probs.dtype)
         return probs * col_valid[:, None, None, :]
+
+    def score_text(self, batch, state: EncodedState, text_ids, text_mask,
+                   deterministic=True) -> jnp.ndarray:
+        """Decoder + LM head (+ pointer-generator) over a text hypothesis;
+        returns (B, S, T, C) probabilities (C = V + max_oov; columns beyond
+        the actual extended size are zero).
+
+        Reference: decode (model.py:925-1015) minus the loss.
+        """
+        dec = self.decode_hidden(state, text_ids, text_mask, deterministic)
+        return self.head_probs(batch, state, dec)
+
+    def score_position(self, batch, state: EncodedState, text_ids,
+                       text_mask, t) -> jnp.ndarray:
+        """Scores for position ``t`` only -> (B, S, C).  The decoder still
+        attends causally over positions <= t; only the (vocab-sized) head
+        and copy machinery are restricted to one position — a pure compute
+        saving with identical results (greedy parity tests cover this)."""
+        dec = self.decode_hidden(state, text_ids, text_mask, True)
+        dec_t = jax.lax.dynamic_slice_in_dim(dec, t, 1, axis=2)  # (B,S,1,H)
+        return self.head_probs(batch, state, dec_t)[:, :, 0, :]
 
     # ------------------------------------------------------------------ #
     # textual re-simulator

@@ -36,6 +36,7 @@ def label_smoothing_kl(
       label_smoothing: smoothing epsilon in (0, 1].
     Returns sum-reduced scalar loss.
     """
+    probs = probs.astype(jnp.float32)
     n, c = probs.shape
     ext_size = jnp.broadcast_to(jnp.asarray(ext_size, jnp.int32), (n,))
     cols = jnp.arange(c, dtype=jnp.int32)[None, :]
@@ -69,6 +70,8 @@ def bce_sum(probs: jnp.ndarray, targets: jnp.ndarray,
     # backward); log(1e-35)≈-80.6, so values only deviate from torch's -100
     # clamp when a sigmoid emits < 1e-35 — i.e. a logit below -80.
     tiny = 1e-35
+    probs = probs.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
     logp = jnp.maximum(jnp.log(jnp.maximum(probs, tiny)), -100.0)
     log1mp = jnp.maximum(jnp.log(jnp.maximum(1.0 - probs, tiny)), -100.0)
     loss = -(targets * logp + (1.0 - targets) * log1mp)
@@ -93,6 +96,8 @@ def asymmetric_loss_sum(
     probabilities, and only rows with at least one positive verb are scored
     (model.py:1103-1104) — expressed here with ``row_mask``.
     """
+    probs = probs.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
     xs_pos = probs
     xs_neg = jnp.minimum(1.0 - probs + clip, 1.0)
     los_pos = targets * jnp.log(jnp.maximum(xs_pos, eps))
