@@ -25,12 +25,19 @@ def main():
     p.add_argument("--workdir", required=True)
     p.add_argument("--max_steps_per_epoch", type=int, default=None)
     p.add_argument("--no_language_eval", action="store_true")
+    p.add_argument("--no_tensorboard", action="store_true")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="trace this many steady-state steps with jax.profiler")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="per-op NaN checks (reference anomaly-detection analog)")
     args = p.parse_args()
     cfg = config_from_args(args)
     if args.debug:
         args.max_steps_per_epoch = 1
     train(cfg, args.workdir, max_steps_per_epoch=args.max_steps_per_epoch,
-          eval_language=not args.no_language_eval)
+          eval_language=not args.no_language_eval,
+          tensorboard=not args.no_tensorboard,
+          profile_steps=args.profile_steps, debug_nans=args.debug_nans)
 
 
 if __name__ == "__main__":

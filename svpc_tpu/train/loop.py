@@ -105,9 +105,38 @@ def run_greedy_eval(model, params, dataset: CaptionDataset, cfg: Config,
     return build_submission(results or {})
 
 
+class TBWriter:
+    """Optional TensorBoard writer (reference logs scalars via tensorboardX,
+    train.py:359,387-421); torch's bundled writer is used when available."""
+
+    def __init__(self, logdir: str, enabled: bool = True):
+        self._w = None
+        if enabled:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._w = SummaryWriter(logdir)
+            except Exception:
+                logger.info("tensorboard writer unavailable; csv logs only")
+
+    def scalar(self, tag: str, value, step: int):
+        if self._w is not None:
+            self._w.add_scalar(tag, float(value), step)
+
+    def close(self):
+        if self._w is not None:
+            self._w.close()
+
+
 def train(cfg: Config, workdir: str,
           max_steps_per_epoch: Optional[int] = None,
-          eval_language: bool = True) -> Dict:
+          eval_language: bool = True,
+          tensorboard: bool = True,
+          profile_steps: int = 0,
+          debug_nans: bool = False) -> Dict:
+    if debug_nans:
+        # analog of the reference's always-on autograd anomaly detection
+        # (train.py:85,177), off by default for speed
+        jax.config.update("jax_debug_nans", True)
     os.makedirs(workdir, exist_ok=True)
     cfg.to_json(os.path.join(workdir, "config.json"))
 
@@ -145,6 +174,8 @@ def train(cfg: Config, workdir: str,
     best_cider = 0.0
     es_cnt = 0
     history = []
+    tb = TBWriter(workdir, tensorboard)
+    profiled = False
     with precision_scope(cfg.model):
         for epoch in range(cfg.train.n_epoch):
             t0 = time.time()
@@ -154,11 +185,23 @@ def train(cfg: Config, workdir: str,
                     seed=cfg.train.seed + epoch)):
                 if mesh is not None:
                     batch = shard_batch(mesh, batch)
+                if profile_steps and not profiled and epoch == 0 and i == 1:
+                    # skip step 0 (compile); trace a few steady-state steps
+                    jax.profiler.start_trace(os.path.join(workdir, "profile"))
                 state, m = train_step(state, batch, rng)
                 metrics.append(m)
+                if profile_steps and not profiled and epoch == 0 \
+                        and i == profile_steps:
+                    jax.tree.map(lambda x: x.block_until_ready(), m)
+                    jax.profiler.stop_trace()
+                    profiled = True
+                    logger.info("profiler trace written to %s/profile", workdir)
                 if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
                     break
             train_m = aggregate_metrics(jax.device_get(metrics))
+            niter = int(state.step)
+            tb.scalar("Train/Loss", train_m["loss_per_word"], niter)
+            tb.scalar("Train/Acc", train_m["acc"], niter)
             logger.info(
                 "[epoch %d] train ppl %.4f acc %.3f (%.1fs)", epoch,
                 math.exp(min(train_m["loss_per_word"], 100)),
@@ -196,6 +239,12 @@ def train(cfg: Config, workdir: str,
                     epoch, 100 * lang.get("METEOR", 0),
                     100 * lang["Bleu_4"], 100 * lang["CIDEr"],
                     100 * lang["re4"])
+                tb.scalar("Val/METEOR", 100 * lang.get("METEOR", 0), niter)
+                tb.scalar("Val/Bleu_4", 100 * lang["Bleu_4"], niter)
+                tb.scalar("Val/CIDEr", 100 * lang["CIDEr"], niter)
+                tb.scalar("Val/Re4", 100 * lang["re4"], niter)
+            tb.scalar("Val/Loss", val_m["loss_per_word"], niter)
+            tb.scalar("Val/Acc", val_m["acc"], niter)
             valid_log.write(
                 f"{epoch},{val_m['loss_per_word']:.5f},"
                 f"{math.exp(min(val_m['loss_per_word'], 100)):.5f},"
@@ -229,6 +278,7 @@ def train(cfg: Config, workdir: str,
                                 epoch, best_cider)
                     break
 
+    tb.close()
     train_log.close(); valid_log.close()
     with open(os.path.join(workdir, "history.json"), "w") as f:
         json.dump(history, f, indent=2)
