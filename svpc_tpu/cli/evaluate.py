@@ -38,6 +38,10 @@ def main():
     p.add_argument("--split", default="test", choices=["val", "test"])
     p.add_argument("--output_dir", required=True)
     p.add_argument("--ingredient_f1", action="store_true")
+    p.add_argument("--use_beam", action="store_true",
+                   help="beam search (a real implementation — the "
+                        "reference's flag silently falls back to greedy)")
+    p.add_argument("--beam_size", type=int, default=2)
     args = p.parse_args()
     cfg = config_from_args(args)
     if not os.path.exists(args.checkpoint):
@@ -55,9 +59,12 @@ def main():
     state = load_checkpoint(args.checkpoint, state)
     eval_params = state.eval_params()
 
-    submission = run_greedy_eval(model, eval_params, ds, cfg)
+    submission = run_greedy_eval(
+        model, eval_params, ds, cfg,
+        beam_size=args.beam_size if args.use_beam else 0)
+    decode_name = f"beam{args.beam_size}" if args.use_beam else "greedy"
     sub_path = os.path.join(args.output_dir,
-                            f"greedy_pred_{args.split}.json")
+                            f"{decode_name}_pred_{args.split}.json")
     with open(sub_path, "w") as f:
         json.dump(submission, f, indent=2)
     logger.info("submission written to %s", sub_path)

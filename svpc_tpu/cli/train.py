@@ -30,6 +30,9 @@ def main():
                    help="trace this many steady-state steps with jax.profiler")
     p.add_argument("--debug_nans", action="store_true",
                    help="per-op NaN checks (reference anomaly-detection analog)")
+    p.add_argument("--resume_from", default=None,
+                   help="checkpoint dir to resume training from "
+                        "(params+optimizer+EMA+epoch)")
     args = p.parse_args()
     cfg = config_from_args(args)
     if args.debug:
@@ -37,7 +40,8 @@ def main():
     train(cfg, args.workdir, max_steps_per_epoch=args.max_steps_per_epoch,
           eval_language=not args.no_language_eval,
           tensorboard=not args.no_tensorboard,
-          profile_steps=args.profile_steps, debug_nans=args.debug_nans)
+          profile_steps=args.profile_steps, debug_nans=args.debug_nans,
+          resume_from=args.resume_from)
 
 
 if __name__ == "__main__":

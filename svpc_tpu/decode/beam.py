@@ -1,0 +1,125 @@
+"""Batched beam-search decoding.
+
+The reference advertises beam search (--use_beam/--beam_size/--n_best,
+train.py:546-548) but the implementation was deleted from the repo — only
+greedy remains (SURVEY §2.2: translate_batch ignores use_beam).  This is a
+real, jit-compiled batched implementation: every (video, step) decodes K
+hypotheses in one ``lax.scan``, with the same masking semantics as the
+greedy decoder (UNK suppressed, per-example OOV-extended columns, copy ids
+tracked in an extended buffer and fed back as UNK).
+
+Scoring: sum of token log-probabilities with an optional length penalty
+((5+len)/6)^alpha (GNMT); alpha=0 reduces to plain sum.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from svpc_tpu import tokenization as tok
+from svpc_tpu.config import ModelConfig
+
+NEG = -1e9
+
+
+def beam_decode(model, params, batch, beam_size: int = 2,
+                length_penalty: float = 0.0) -> jnp.ndarray:
+    """Returns extended token ids (B, S, T) of the best beam."""
+    cfg: ModelConfig = model.cfg
+    B, S, L = batch["input_ids"].shape
+    T, V, C = cfg.max_t_len, cfg.vocab_size, cfg.extended_vocab_size
+    K = beam_size
+
+    state = model.apply(params, batch, deterministic=True,
+                        method=type(model).encode)
+
+    if cfg.model_mode == "video":
+        ext = jnp.full((B,), V, jnp.int32)
+    else:
+        ext = (V + batch["oov_count"]).astype(jnp.int32)
+    cols = jnp.arange(C, dtype=jnp.int32)
+    col_ok = (cols[None, :] < ext[:, None]) & (cols[None, :] != tok.UNK)
+    col_ok = col_ok[:, None, None, :]                  # (B,1,1,C)
+
+    # replicate the batch K times along a beam axis folded into B:
+    # arrange as (B*K, S, ...) so score_position sees a normal batch
+    def rep(x):
+        return jnp.repeat(x, K, axis=0)
+
+    beam_batch = {k: rep(v) for k, v in batch.items()}
+    beam_state = jax.tree.map(rep, state)
+
+    text_ids0 = jnp.zeros((B, K, S, T), jnp.int32)
+    ext_ids0 = jnp.zeros((B, K, S, T), jnp.int32)
+    mask0 = jnp.zeros((B, K, S, T), jnp.float32)
+    scores0 = jnp.zeros((B, K, S), jnp.float32)
+    # only beam 0 is live initially (all beams identical at t=0)
+    scores0 = scores0.at[:, 1:, :].set(NEG)
+    next0 = jnp.full((B, K, S), tok.BOS, jnp.int32)
+    finished0 = jnp.zeros((B, K, S), bool)
+    lengths0 = jnp.zeros((B, K, S), jnp.float32)
+
+    def step(carry, t):
+        text_ids, ext_ids, mask, scores, next_sym, oov_next, finished, lengths = carry
+        text_ids = jax.lax.dynamic_update_index_in_dim(
+            text_ids, next_sym, t, axis=3)
+        ext_ids = jax.lax.dynamic_update_index_in_dim(
+            ext_ids, oov_next, t, axis=3)
+        mask = jax.lax.dynamic_update_index_in_dim(
+            mask, jnp.ones((B, K, S), jnp.float32), t, axis=3)
+
+        flat_ids = text_ids.reshape(B * K, S, T)
+        flat_mask = mask.reshape(B * K, S, T)
+        probs = model.apply(params, beam_batch, beam_state, flat_ids,
+                            flat_mask, t, method=type(model).score_position)
+        logp = jnp.log(probs.reshape(B, K, S, C) + 1e-12)
+        logp = jnp.where(col_ok, logp, NEG)
+
+        # finished beams: only PAD continuation, at zero cost
+        pad_only = jnp.full((C,), NEG).at[tok.PAD].set(0.0)
+        logp = jnp.where(finished[..., None], pad_only[None, None, None, :],
+                         logp)
+
+        cand = scores[..., None] + logp                # (B,K,S,C)
+        cand_flat = cand.transpose(0, 2, 1, 3).reshape(B, S, K * C)
+        top_scores, top_idx = jax.lax.top_k(cand_flat, K)   # (B,S,K)
+        src_beam = (top_idx // C).astype(jnp.int32)
+        token = (top_idx % C).astype(jnp.int32)
+        top_scores = top_scores.transpose(0, 2, 1)     # (B,K,S)
+        src_beam = src_beam.transpose(0, 2, 1)
+        token = token.transpose(0, 2, 1)
+
+        def gather_beams(x):
+            # x (B,K,S,...) indexed by src_beam (B,K,S) per (b,s)
+            return jnp.take_along_axis(
+                x, src_beam.reshape(src_beam.shape + (1,) * (x.ndim - 3)),
+                axis=1)
+
+        text_ids = gather_beams(text_ids)
+        ext_ids = gather_beams(ext_ids)
+        finished = jnp.take_along_axis(finished, src_beam, axis=1)
+        lengths = jnp.take_along_axis(lengths, src_beam, axis=1)
+
+        new_finished = finished | (token == tok.EOS)
+        lengths = jnp.where(finished, lengths, lengths + 1.0)
+        oov_next2 = token
+        next2 = jnp.where(token >= V, tok.UNK, token)
+
+        return (text_ids, ext_ids, mask, top_scores, next2, oov_next2,
+                new_finished, lengths), None
+
+    carry0 = (text_ids0, ext_ids0, mask0, scores0, next0, next0,
+              finished0, lengths0)
+    (text_ids, ext_ids, _, scores, _, _, _, lengths), _ = jax.lax.scan(
+        step, carry0, jnp.arange(T, dtype=jnp.int32))
+
+    if length_penalty > 0:
+        norm = ((5.0 + lengths) / 6.0) ** length_penalty
+        scores = scores / norm
+    best = jnp.argmax(scores, axis=1)                   # (B,S)
+    out = ext_ids if cfg.model_mode != "video" else text_ids
+    return jnp.take_along_axis(
+        out, best[:, None, :, None], axis=1)[:, 0]      # (B,S,T)

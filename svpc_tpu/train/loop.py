@@ -85,10 +85,17 @@ def init_model(cfg: Config, sample_batch, rng_seed: int = None,
 
 
 def run_greedy_eval(model, params, dataset: CaptionDataset, cfg: Config,
-                    mesh=None, max_batches: Optional[int] = None) -> dict:
-    """Greedy-decode a whole dataset into a submission dict."""
-    jit_decode = jax.jit(
-        lambda p, b: greedy_decode(model, p, b))
+                    mesh=None, max_batches: Optional[int] = None,
+                    beam_size: int = 0) -> dict:
+    """Decode a whole dataset into a submission dict (greedy by default;
+    ``beam_size>1`` uses batched beam search)."""
+    if beam_size and beam_size > 1:
+        from svpc_tpu.decode.beam import beam_decode
+        jit_decode = jax.jit(
+            lambda p, b: beam_decode(model, p, b, beam_size=beam_size))
+    else:
+        jit_decode = jax.jit(
+            lambda p, b: greedy_decode(model, p, b))
     results = None
     n = 0
     with precision_scope(cfg.model):
@@ -132,7 +139,8 @@ def train(cfg: Config, workdir: str,
           eval_language: bool = True,
           tensorboard: bool = True,
           profile_steps: int = 0,
-          debug_nans: bool = False) -> Dict:
+          debug_nans: bool = False,
+          resume_from: Optional[str] = None) -> Dict:
     if debug_nans:
         # analog of the reference's always-on autograd anomaly detection
         # (train.py:85,177), off by default for speed
@@ -155,6 +163,13 @@ def train(cfg: Config, workdir: str,
     steps_per_epoch = math.ceil(len(train_ds) / cfg.train.batch_size)
     tx = make_optimizer(cfg.train, steps_per_epoch)
     state = TrainState.create(params, tx, use_ema=cfg.train.ema_decay > 0)
+    start_epoch = 0
+    if resume_from:
+        from svpc_tpu.train.state import load_checkpoint
+        state = load_checkpoint(resume_from, state)
+        start_epoch = int(state.epoch) + 1
+        logger.info("resumed from %s at step %d (epoch %d)",
+                    resume_from, int(state.step), start_epoch)
     if mesh is not None:
         state = replicate(mesh, state)
 
@@ -177,14 +192,17 @@ def train(cfg: Config, workdir: str,
     tb = TBWriter(workdir, tensorboard)
     profiled = False
     with precision_scope(cfg.model):
-        for epoch in range(cfg.train.n_epoch):
+        for epoch in range(start_epoch, cfg.train.n_epoch):
             t0 = time.time()
             metrics = []
-            for i, (batch, _) in enumerate(train_ds.batches(
-                    cfg.train.batch_size, shuffle=True,
-                    seed=cfg.train.seed + epoch)):
-                if mesh is not None:
-                    batch = shard_batch(mesh, batch)
+            from svpc_tpu.data.prefetch import prefetch_to_device
+            from svpc_tpu.parallel.mesh import batch_sharding
+            batch_iter = prefetch_to_device(
+                train_ds.batches(cfg.train.batch_size, shuffle=True,
+                                 seed=cfg.train.seed + epoch),
+                size=2,
+                sharding=batch_sharding(mesh) if mesh is not None else None)
+            for i, (batch, _) in enumerate(batch_iter):
                 if profile_steps and not profiled and epoch == 0 and i == 1:
                     # skip step 0 (compile); trace a few steady-state steps
                     jax.profiler.start_trace(os.path.join(workdir, "profile"))
@@ -261,6 +279,7 @@ def train(cfg: Config, workdir: str,
             cider = lang.get("CIDEr", -1.0)
             # always keep a resumable latest checkpoint (the reference
             # cannot resume mid-training at all — SURVEY §5)
+            state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
             save_checkpoint(workdir, jax.device_get(state), cfg,
                             name="checkpoint_last")
             if cfg.train.save_mode == "all":
