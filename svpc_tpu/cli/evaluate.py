@@ -42,22 +42,32 @@ def main():
                    help="beam search (a real implementation — the "
                         "reference's flag silently falls back to greedy)")
     p.add_argument("--beam_size", type=int, default=2)
+    p.add_argument("--torch_checkpoint", action="store_true",
+                   help="--checkpoint is a reference PyTorch .chkpt file; "
+                        "weights are imported directly (token-for-token "
+                        "decode parity)")
     args = p.parse_args()
     cfg = config_from_args(args)
     if not os.path.exists(args.checkpoint):
         raise SystemExit(f"checkpoint not found: {args.checkpoint}")
     os.makedirs(args.output_dir, exist_ok=True)
 
-    ds = CaptionDataset(cfg, args.split)
-    sample, _ = next(iter(ds.batches(cfg.train.val_batch_size)))
-    # abstract init: no forward compile just to build a restore template
-    model, params = init_model(cfg, sample, abstract=True)
-    import functools
-    tx = make_optimizer(cfg.train, 1)
-    state = jax.eval_shape(functools.partial(
-        TrainState.create, tx=tx, use_ema=cfg.train.ema_decay > 0), params)
-    state = load_checkpoint(args.checkpoint, state)
-    eval_params = state.eval_params()
+    if args.torch_checkpoint:
+        from svpc_tpu.model.load_reference import import_reference_checkpoint
+        cfg, model, eval_params = import_reference_checkpoint(
+            args.checkpoint, cfg)
+        ds = CaptionDataset(cfg, args.split)
+    else:
+        ds = CaptionDataset(cfg, args.split)
+        sample, _ = next(iter(ds.batches(cfg.train.val_batch_size)))
+        # abstract init: no forward compile just to build a restore template
+        model, params = init_model(cfg, sample, abstract=True)
+        import functools
+        tx = make_optimizer(cfg.train, 1)
+        state = jax.eval_shape(functools.partial(
+            TrainState.create, tx=tx, use_ema=cfg.train.ema_decay > 0), params)
+        state = load_checkpoint(args.checkpoint, state)
+        eval_params = state.eval_params()
 
     submission = run_greedy_eval(
         model, eval_params, ds, cfg,

@@ -221,9 +221,16 @@ class CaptionDataset:
         self.frame_to_second = load_durations(
             d.duration_file, d.dset_name, d.sampling_sec)
         data = load_annotations(d.data_dir, split, self.num_steps)
+        # anet names carry a "v_" prefix stripped for feature files
+        # (recursive_caption_dataset.py:98,186)
+        self._strip = 2 if d.dset_name == "anet" else 0
         # fix_missing (recursive_caption_dataset.py:95-110)
-        self.missing = [e["name"] for e in data if not self.store.exists(e["name"])]
+        self.missing = [e["name"] for e in data
+                        if not self.store.exists(self.video_name(e["name"]))]
         self.data = [e for e in data if e["name"] not in set(self.missing)]
+
+    def video_name(self, name: str) -> str:
+        return name[self._strip:] if self._strip else name
 
     def __len__(self) -> int:
         return len(self.data)
@@ -235,7 +242,8 @@ class CaptionDataset:
         m = self.cfg.model
         S = self.num_steps
         name = entry["name"]
-        frm2sec = self.frame_to_second[name]
+        video_name = self.video_name(name)
+        frm2sec = self.frame_to_second[video_name]
 
         ingr_arrays, ingr_meta = build_ingredient_arrays(
             entry["ingredients"], self.vocab, m.max_i_len,
@@ -251,7 +259,7 @@ class CaptionDataset:
         raw_feat = None
         if self.use_native:
             from svpc_tpu.native import pack_video_native
-            p_resnet, p_bn = self.store.paths(name)
+            p_resnet, p_bn = self.store.paths(video_name)
             res = pack_video_native(
                 p_resnet, p_bn, np.asarray(entry["timestamps"][:n_sen],
                                            np.float64),
@@ -259,7 +267,7 @@ class CaptionDataset:
             if res is not None:
                 packed = res
         if packed is None:
-            raw_feat = self.store.load(name)
+            raw_feat = self.store.load(video_name)
 
         out = dict(
             input_ids=np.zeros((S, L), np.int32),

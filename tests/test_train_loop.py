@@ -1,0 +1,48 @@
+"""End-to-end train-loop smoke on CPU: tiny model, real YC2 annotations,
+synthetic features; exercises training, EMA eval, greedy decode, language
+metrics, checkpointing and resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests import reference_bridge as rb
+
+pytestmark = pytest.mark.skipif(
+    not rb.reference_available(), reason="reference repo not mounted")
+
+
+def test_train_loop_end_to_end(tmp_path):
+    names, feat_dir, dur_file = rb.setup_features(3)
+    cfg, _ = rb.build_ours("full", feat_dir, dur_file)
+    cfg = cfg.replace_train(batch_size=2, val_batch_size=2, n_epoch=2,
+                            max_es_cnt=10)
+    # train on the val split's features (train-split features don't exist
+    # in the fixture set) by pointing the loop at a val-features layout
+    from svpc_tpu.train import loop as loop_mod
+    from svpc_tpu.data.pipeline import CaptionDataset
+
+    orig_init = CaptionDataset.__init__
+
+    def patched_init(self, c, split, **kw):
+        orig_init(self, c, "val", **kw)
+        self.split = split
+
+    CaptionDataset.__init__ = patched_init
+    try:
+        result = loop_mod.train(cfg, str(tmp_path), max_steps_per_epoch=2,
+                                eval_language=True, tensorboard=False)
+    finally:
+        CaptionDataset.__init__ = orig_init
+
+    assert os.path.exists(tmp_path / "checkpoint_last")
+    assert os.path.exists(tmp_path / "train.log.csv")
+    hist = json.load(open(tmp_path / "history.json"))
+    assert len(hist) == 2
+    for h in hist:
+        assert np.isfinite(h["train"]["loss_per_word"])
+        assert "Bleu_4" in h["lang"]
+    subs = json.load(open(tmp_path / "greedy_pred_val_epoch1.json"))
+    assert len(subs["results"]) >= 1

@@ -22,6 +22,29 @@ import numpy as np
 REFERENCE_ROOT = os.environ.get("SVPC_REFERENCE", "/root/reference")
 
 
+class _EasyDict(dict):
+    """Picklable easydict.EasyDict stand-in (module-level so torch.save
+    of reference checkpoints works)."""
+
+    def __init__(self, d=None, **kw):
+        super().__init__()
+        d = dict(d or {}, **kw)
+        for k, v in d.items():
+            self[k] = v
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def __reduce__(self):
+        return (dict, (dict(self),))
+
+
 def install_patches():
     # numpy removed np.int; the reference uses it (recursive_caption_dataset.py:404)
     if not hasattr(np, "int"):
@@ -30,24 +53,7 @@ def install_patches():
     # easydict stub
     if "easydict" not in sys.modules:
         mod = types.ModuleType("easydict")
-
-        class EasyDict(dict):
-            def __init__(self, d=None, **kw):
-                super().__init__()
-                d = dict(d or {}, **kw)
-                for k, v in d.items():
-                    self[k] = v
-
-            def __setattr__(self, k, v):
-                self[k] = v
-
-            def __getattr__(self, k):
-                try:
-                    return self[k]
-                except KeyError as e:
-                    raise AttributeError(k) from e
-
-        mod.EasyDict = EasyDict
+        mod.EasyDict = _EasyDict
         sys.modules["easydict"] = mod
 
     import torch
