@@ -14,7 +14,10 @@ Shapes (per example):
   input_mask      (S, L)  float32
   input_labels    (S, L)  int32     extended ids, IGNORE on non-loss slots
   token_type_ids  (S, L)  int32
-  video_feature   (S, L, Dv) float32
+  video_feature   (S, Lv, Dv) float32   (the reference pads features to L
+                                         rows with zeros the model never
+                                         reads — model.py:889 slices
+                                         [:max_v_len]; we keep only Lv)
   step_mask       (S,)    float32
   ingr_ids        (I,)    int32
   ingr_mask       (I,)    int32
@@ -148,12 +151,11 @@ def build_clip_arrays(
     (reference: recursive_caption_dataset.py:283-340).  ``packed`` carries
     a (features, valid_len) pair already produced by the native C++
     packer; otherwise the numpy path indexes ``raw_feat``."""
-    total_len = max_v_len + max_t_len
     if packed is not None:
         feat, valid_l = packed
     else:
         feat, valid_l, _ = index_clip_features(
-            raw_feat, timestamp, frm2sec, max_v_len, total_len)
+            raw_feat, timestamp, frm2sec, max_v_len, max_v_len)
 
     max_v_l = max_v_len - 2
     video_tokens = ([tok.CLS_TOKEN] + [tok.VID_TOKEN] * valid_l
@@ -263,7 +265,7 @@ class CaptionDataset:
             res = pack_video_native(
                 p_resnet, p_bn, np.asarray(entry["timestamps"][:n_sen],
                                            np.float64),
-                frm2sec, m.max_v_len, L, m.video_feature_size)
+                frm2sec, m.max_v_len, m.max_v_len, m.video_feature_size)
             if res is not None:
                 packed = res
         if packed is None:
@@ -274,7 +276,8 @@ class CaptionDataset:
             input_labels=np.full((S, L), tok.IGNORE, np.int32),
             input_mask=np.zeros((S, L), np.float32),
             token_type_ids=np.zeros((S, L), np.int32),
-            video_feature=np.zeros((S, L, m.video_feature_size), np.float32),
+            video_feature=np.zeros((S, m.max_v_len, m.video_feature_size),
+                                   np.float32),
         )
         for s in range(n_sen):
             clip = build_clip_arrays(

@@ -19,9 +19,11 @@ _SENTINEL = object()
 
 
 def prefetch_to_device(iterator: Iterator, size: int = 2,
-                       sharding=None) -> Iterator:
+                       sharding=None, transform=None) -> Iterator:
     """Wrap a (batch, meta) iterator: batches are built and transferred in
-    a background thread, ``size`` ahead."""
+    a background thread, ``size`` ahead.  ``transform`` runs on the host
+    batch before transfer (e.g. casting features to bf16, halving
+    host→device traffic for the fast path)."""
 
     q: queue.Queue = queue.Queue(maxsize=size)
     err = []
@@ -39,6 +41,8 @@ def prefetch_to_device(iterator: Iterator, size: int = 2,
     def producer():
         try:
             for batch, meta in iterator:
+                if transform is not None:
+                    batch = transform(batch)
                 if sharding is not None:
                     batch = {k: jax.device_put(v, sharding)
                              for k, v in batch.items()}

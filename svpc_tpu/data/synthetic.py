@@ -29,7 +29,7 @@ def synthetic_batch(cfg: Config, batch_size: int = 2, seed: int = 0,
         input_labels=np.full((B, S, L), tok.IGNORE, np.int32),
         input_mask=np.zeros((B, S, L), np.float32),
         token_type_ids=np.zeros((B, S, L), np.int32),
-        video_feature=np.zeros((B, S, L, m.video_feature_size), np.float32),
+        video_feature=np.zeros((B, S, Lv, m.video_feature_size), np.float32),
         step_mask=np.zeros((B, S), np.float32),
         ingr_ids=np.zeros((B, m.max_i_len), np.int32),
         ingr_mask=np.zeros((B, m.max_i_len), np.int32),

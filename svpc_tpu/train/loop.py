@@ -197,11 +197,22 @@ def train(cfg: Config, workdir: str,
             metrics = []
             from svpc_tpu.data.prefetch import prefetch_to_device
             from svpc_tpu.parallel.mesh import batch_sharding
+
+            transform = None
+            if cfg.model.compute_dtype == "bfloat16":
+                import ml_dtypes  # numpy bf16 support (jax dependency)
+
+                def transform(b):  # halve feature host->device traffic
+                    b = dict(b)
+                    b["video_feature"] = b["video_feature"].astype(
+                        ml_dtypes.bfloat16)
+                    return b
             batch_iter = prefetch_to_device(
                 train_ds.batches(cfg.train.batch_size, shuffle=True,
                                  seed=cfg.train.seed + epoch),
                 size=2,
-                sharding=batch_sharding(mesh) if mesh is not None else None)
+                sharding=batch_sharding(mesh) if mesh is not None else None,
+                transform=transform)
             for i, (batch, _) in enumerate(batch_iter):
                 if profile_steps and not profiled and epoch == 0 and i == 1:
                     # skip step 0 (compile); trace a few steady-state steps

@@ -58,3 +58,23 @@ def test_parse_sent_and_paragraphs():
     para = submission_to_paragraphs(
         {"vid1": [{"sentence": "a b"}, {"sentence": "c d"}]})
     assert para["v_vid1"] == "a b. c d. "
+
+
+def test_bleu_cross_check_vs_nltk():
+    """Independent implementation cross-check: nltk corpus_bleu agrees to
+    float precision on single-reference corpora (matching weights)."""
+    from nltk.translate.bleu_score import corpus_bleu
+    rng = np.random.RandomState(0)
+    vocab = ["add", "the", "salt", "stir", "pot", "mix", "oil",
+             "pan", "heat", "chop", "onion", "slice"]
+    gts, res, nltk_refs, nltk_hyps = {}, {}, [], []
+    for i in range(30):
+        ref = " ".join(rng.choice(vocab, rng.randint(5, 15)))
+        hyp = " ".join(w if rng.rand() > 0.3 else str(rng.choice(vocab))
+                       for w in ref.split())
+        gts[i] = [ref]; res[i] = [hyp]
+        nltk_refs.append([ref.split()]); nltk_hyps.append(hyp.split())
+    ours, _ = compute_bleu(gts, res)
+    for n in range(1, 5):
+        nb = corpus_bleu(nltk_refs, nltk_hyps, weights=tuple([1.0 / n] * n))
+        np.testing.assert_allclose(ours[n - 1], nb, rtol=1e-9)

@@ -55,9 +55,13 @@ def test_data_parity(features):
                 ex.arrays["input_mask"][s], items[s]["input_mask"])
             np.testing.assert_array_equal(
                 ex.arrays["token_type_ids"][s], items[s]["token_type_ids"])
+            # our layout keeps only the Lv video rows; the reference pads
+            # features to L rows with zeros the model never reads
+            lv = ex.arrays["video_feature"].shape[1]
             np.testing.assert_allclose(
-                ex.arrays["video_feature"][s], items[s]["video_feature"],
-                rtol=1e-6)
+                ex.arrays["video_feature"][s],
+                items[s]["video_feature"][:lv], rtol=1e-6)
+            assert np.abs(items[s]["video_feature"][lv:]).max() == 0.0
         # ingredients
         np.testing.assert_array_equal(ex.arrays["ingr_ids"], ingr["ingr_ids"])
         np.testing.assert_array_equal(ex.arrays["ingr_mask"], ingr["ingr_mask"])
