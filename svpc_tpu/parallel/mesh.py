@@ -54,3 +54,52 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
 def replicate(mesh: Mesh, tree: Any) -> Any:
     sh = replicated_sharding(mesh)
     return jax.device_put(tree, sh)
+
+
+# ---------------------------------------------------------------------- #
+# tensor parallelism
+# ---------------------------------------------------------------------- #
+
+def param_partition_spec(path: tuple) -> P:
+    """Sharding rule for one parameter, by tree path.
+
+    The model is small (42M params), so TP is about demonstrating real
+    multi-axis sharding rather than memory need: the widest matmuls —
+    vocab-sized tables/heads and the FFN — shard over ``tp``; everything
+    else replicates.  XLA inserts the ICI collectives.
+    """
+    keys = [p.key for p in path if hasattr(p, "key")]
+    name = keys[-1] if keys else ""
+    joined = "/".join(keys)
+    # vocab-dimension sharding: word/action embedding tables (V, D)
+    if name in ("embedding", "action_embeddings"):
+        return P("tp", None)
+    # LM head projection (H, V): shard the vocab dim
+    if "decoder_classifier" in joined and name == "kernel" \
+            and "decoder" in joined:
+        return P(None, "tp")
+    # FFN: intermediate kernel column-sharded, output kernel row-sharded
+    if "intermediate/dense" in joined.replace("//", "/") and name == "kernel":
+        return P(None, "tp")
+    if joined.endswith("output/dense/kernel") and "attention" not in joined:
+        return P("tp", None)
+    return P()
+
+
+def shard_params(mesh: Mesh, params: Any) -> Any:
+    """Place a param pytree with TP partition specs over the mesh.
+
+    A spec only applies when the sharded dimension divides the axis size
+    (e.g. the 951-word vocab doesn't split over tp=2 — those tables
+    replicate)."""
+    tp = mesh.shape.get("tp", 1)
+
+    def place(path, x):
+        spec = param_partition_spec(path)
+        for dim, axis in enumerate(spec):
+            if axis is not None and x.shape[dim] % tp != 0:
+                spec = P()
+                break
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)

@@ -46,6 +46,38 @@ def test_dp_loss_matches_single_device():
                                    rtol=2e-4, atol=1e-5)
 
 
+def test_dp_tp_loss_matches_single_device():
+    """dp4 x tp2 (Megatron-style FFN/table sharding) must reproduce the
+    single-device loss."""
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.config import tiny_test_config
+    from svpc_tpu.data.synthetic import synthetic_batch
+    from svpc_tpu.model import SVPCModel
+    from svpc_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+
+    cfg = tiny_test_config("full")
+    model = SVPCModel(cfg.model)
+    batch_np = synthetic_batch(cfg, batch_size=4, seed=3)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    params = model.init(rngs, batch, deterministic=True)
+
+    def loss_fn(p, b):
+        return model.apply(p, b, deterministic=True,
+                           rngs={"gumbel": jax.random.PRNGKey(3)}).total_loss
+
+    single = float(jax.jit(loss_fn)(params, batch))
+
+    mesh = make_mesh(dp_size=4, tp_size=2)
+    p_sharded = {"params": shard_params(mesh, params["params"])}
+    b_sharded = shard_batch(mesh, batch_np)
+    tp_loss = float(jax.jit(loss_fn)(p_sharded, b_sharded))
+    np.testing.assert_allclose(tp_loss, single, rtol=1e-5)
+
+
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
