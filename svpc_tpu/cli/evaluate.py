@@ -59,6 +59,8 @@ def main():
         ds = CaptionDataset(cfg, args.split)
     else:
         ds = CaptionDataset(cfg, args.split)
+        if len(ds) and len(ds) < cfg.train.val_batch_size:
+            cfg = cfg.replace_train(val_batch_size=len(ds))
         sample, _ = next(iter(ds.batches(cfg.train.val_batch_size)))
         # abstract init: no forward compile just to build a restore template
         model, params = init_model(cfg, sample, abstract=True)

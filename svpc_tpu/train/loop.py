@@ -89,6 +89,10 @@ def run_greedy_eval(model, params, dataset: CaptionDataset, cfg: Config,
                     beam_size: int = 0) -> dict:
     """Decode a whole dataset into a submission dict (greedy by default;
     ``beam_size>1`` uses batched beam search)."""
+    # don't compile shapes bigger than the dataset (a 4-video run with the
+    # default val_batch_size=50 would pad 12x and compile a huge program)
+    eff_bs = max(1, min(cfg.train.val_batch_size, len(dataset)))
+    cfg = cfg.replace_train(val_batch_size=eff_bs)
     if beam_size and beam_size > 1:
         from svpc_tpu.decode.beam import beam_decode
         jit_decode = jax.jit(
@@ -151,6 +155,8 @@ def train(cfg: Config, workdir: str,
     train_ds = CaptionDataset(cfg, "train")
     val_ds = CaptionDataset(cfg, "val")
     logger.info("train videos: %d, val videos: %d", len(train_ds), len(val_ds))
+    if len(val_ds) and len(val_ds) < cfg.train.val_batch_size:
+        cfg = cfg.replace_train(val_batch_size=len(val_ds))
 
     mesh = make_mesh(cfg.train.dp_size, cfg.train.tp_size) \
         if cfg.train.dp_size > 1 else None
