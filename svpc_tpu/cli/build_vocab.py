@@ -41,7 +41,8 @@ def main():
     p.add_argument("--train_path", required=True)
     p.add_argument("--dset_name", default="yc2")
     p.add_argument("--cache", default="./cache")
-    p.add_argument("--min_word_count", type=int, default=5)
+    # the reference script of record passes 3 (scripts/build_vocab.sh:9)
+    p.add_argument("--min_word_count", type=int, default=3)
     p.add_argument("--raw_glove_path", default=None)
     p.add_argument("--verb_vocab_path", default=None)
     args = p.parse_args()
