@@ -230,6 +230,12 @@ class CaptionDataset:
         self.missing = [e["name"] for e in data
                         if not self.store.exists(self.video_name(e["name"]))]
         self.data = [e for e in data if e["name"] not in set(self.missing)]
+        # shrink the padded step axis to the split's actual maximum (the
+        # reference's eval datasets ask for max_n_sen+10=22 but the corpus
+        # max is 16 — a fixed shape only needs to cover the data)
+        if self.data:
+            self.num_steps = min(
+                self.num_steps, max(len(e["sentences"]) for e in self.data))
 
     def video_name(self, name: str) -> str:
         return name[self._strip:] if self._strip else name
