@@ -17,8 +17,6 @@ from flax import linen as nn
 
 from svpc_tpu.config import ModelConfig
 
-Dtype = Any
-
 
 def dense_init(cfg: ModelConfig):
     return nn.initializers.normal(stddev=cfg.initializer_range)
@@ -37,7 +35,6 @@ def _on_tpu() -> bool:
 class LayerNorm(nn.Module):
     """TF-style layernorm (eps inside the sqrt), reference model.py:143-156."""
     cfg: ModelConfig
-    dim: Optional[int] = None
 
     @nn.compact
     def __call__(self, x):

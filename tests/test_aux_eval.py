@@ -70,3 +70,21 @@ def test_ingredient_extraction_matches_reference_semantics():
     # gen step1: garlic (correct); gen step2: nothing matched
     assert out["recall"] == 1 / 3
     assert out["precision"] == 1.0
+
+
+def test_build_vocab_reproduces_shipped_vocabulary():
+    """Our builder regenerates the exact word set of the reference's
+    published cache/yc2_word2idx.json (951 words, min_count=3 — ids can
+    differ because the reference iterates a hash-ordered set)."""
+    import pytest
+    ref_root = "/root/reference"
+    if not os.path.isdir(ref_root):
+        pytest.skip("reference repo not mounted")
+    from svpc_tpu.tokenization import build_vocab
+    train = json.load(open(os.path.join(
+        ref_root, "densevid_eval/yc2_data/bosselut_yc2_train_anet_format.json")))
+    sentences = [s for v in train.values() for s in v["sentences"]]
+    ours = build_vocab(sentences, min_word_count=3)
+    ref = json.load(open(os.path.join(ref_root, "cache/yc2_word2idx.json")))
+    assert set(ours) == set(ref)
+    assert len(ours) == 951
