@@ -56,6 +56,21 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.device_put(tree, sh)
 
 
+def shard_batch_multihost(mesh: Mesh, local_batch: dict) -> dict:
+    """Multi-host data-parallel batch assembly: each process feeds its
+    process-local shard of the global batch (per-host data loading as in
+    SURVEY §2.4's plan).  On a single process this reduces to shard_batch.
+
+    Use with ``jax.distributed.initialize()`` on multi-host slices; each
+    host loads ``global_batch_size / process_count`` examples.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(mesh, local_batch)
+    sh = batch_sharding(mesh)
+    return {k: jax.make_array_from_process_local_data(sh, v)
+            for k, v in local_batch.items()}
+
+
 # ---------------------------------------------------------------------- #
 # tensor parallelism
 # ---------------------------------------------------------------------- #

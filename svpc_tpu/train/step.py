@@ -25,9 +25,10 @@ from svpc_tpu.train.state import TrainState
 def batch_metrics(out, batch, cfg) -> Dict[str, jnp.ndarray]:
     """Sum-counts for the epoch aggregator."""
     Lv = cfg.model.max_v_len
+    # token accuracy vs the UNMUTATED extended labels (the reference's
+    # cal_performance uses the original labels even in video mode, where
+    # OOV-labeled positions can never be predicted — train.py:32-38,134-138)
     labels = batch["input_labels"][:, :, Lv:]
-    if cfg.model.model_mode == "video":
-        labels = jnp.where(labels >= cfg.model.vocab_size, tok.UNK, labels)
     pred = jnp.argmax(out.prediction_scores, axis=-1)
     valid = labels != tok.IGNORE
     n_correct = jnp.sum((pred == labels) & valid)
