@@ -23,10 +23,14 @@ from svpc_tpu.config import ModelConfig
 NEG = -1e10
 
 
-def greedy_decode(model, params, batch, rngs=None) -> jnp.ndarray:
+def greedy_decode(model, params, batch, rngs=None,
+                  use_cache: bool = True) -> jnp.ndarray:
     """Returns extended token ids (B, S, T): [BOS], then argmax tokens.
 
-    Call under jit (see make_greedy_fn)."""
+    ``use_cache=True`` decodes incrementally with per-layer KV caches —
+    O(T) instead of the reference's O(T^2) full re-runs, bit-identical
+    results (tests/test_cached_decode.py).  Call under jit
+    (see make_greedy_fn)."""
     cfg: ModelConfig = model.cfg
     B, S, L = batch["input_ids"].shape
     T, V, C = cfg.max_t_len, cfg.vocab_size, cfg.extended_vocab_size
@@ -47,26 +51,48 @@ def greedy_decode(model, params, batch, rngs=None) -> jnp.ndarray:
     text_mask0 = jnp.zeros((B, S, T), jnp.float32)
     next0 = jnp.full((B, S), tok.BOS, jnp.int32)
 
-    def step(carry, t):
-        text_ids, ext_ids, text_mask, next_sym, oov_next = carry
-        text_ids = jax.lax.dynamic_update_index_in_dim(
-            text_ids, next_sym, t, axis=2)
-        ext_ids = jax.lax.dynamic_update_index_in_dim(
-            ext_ids, oov_next, t, axis=2)
-        text_mask = jax.lax.dynamic_update_index_in_dim(
-            text_mask, jnp.ones((B, S), jnp.float32), t, axis=2)
-
-        cur = model.apply(params, batch, state, text_ids, text_mask, t,
-                          method=type(model).score_position)
+    def argmax_step(cur, next_sym):
         cur = jnp.where(col_ok[:, None, :], cur, NEG)   # (B, S, C)
         nw = jnp.argmax(cur, axis=-1).astype(jnp.int32)  # (B, S)
-        new_oov = nw
-        new_next = jnp.where(nw >= V, tok.UNK, nw)       # feed OOV back as UNK
-        return (text_ids, ext_ids, text_mask, new_next, new_oov), None
+        return jnp.where(nw >= V, tok.UNK, nw), nw       # (feed, extended)
 
-    carry0 = (text_ids0, ext_ids0, text_mask0, next0, next0)
-    (text_ids, ext_ids, _, _, _), _ = jax.lax.scan(
-        step, carry0, jnp.arange(T, dtype=jnp.int32))
+    if use_cache:
+        caches0 = model.apply(params, (B, S),
+                              method=type(model).init_decode_caches)
+
+        def step(carry, t):
+            text_ids, ext_ids, next_sym, oov_next, caches = carry
+            text_ids = jax.lax.dynamic_update_index_in_dim(
+                text_ids, next_sym, t, axis=2)
+            ext_ids = jax.lax.dynamic_update_index_in_dim(
+                ext_ids, oov_next, t, axis=2)
+            cur, caches = model.apply(
+                params, batch, state, next_sym, t, caches,
+                method=type(model).score_position_cached)
+            new_next, new_oov = argmax_step(cur, next_sym)
+            return (text_ids, ext_ids, new_next, new_oov, caches), None
+
+        carry0 = (text_ids0, ext_ids0, next0, next0, caches0)
+        (text_ids, ext_ids, _, _, _), _ = jax.lax.scan(
+            step, carry0, jnp.arange(T, dtype=jnp.int32))
+    else:
+        def step(carry, t):
+            text_ids, ext_ids, text_mask, next_sym, oov_next = carry
+            text_ids = jax.lax.dynamic_update_index_in_dim(
+                text_ids, next_sym, t, axis=2)
+            ext_ids = jax.lax.dynamic_update_index_in_dim(
+                ext_ids, oov_next, t, axis=2)
+            text_mask = jax.lax.dynamic_update_index_in_dim(
+                text_mask, jnp.ones((B, S), jnp.float32), t, axis=2)
+
+            cur = model.apply(params, batch, state, text_ids, text_mask, t,
+                              method=type(model).score_position)
+            new_next, new_oov = argmax_step(cur, next_sym)
+            return (text_ids, ext_ids, text_mask, new_next, new_oov), None
+
+        carry0 = (text_ids0, ext_ids0, text_mask0, next0, next0)
+        (text_ids, ext_ids, _, _, _), _ = jax.lax.scan(
+            step, carry0, jnp.arange(T, dtype=jnp.int32))
 
     return text_ids if cfg.model_mode == "video" else ext_ids
 

@@ -82,6 +82,16 @@ class TextEmbeddings(nn.Module):
         emb = self.word_fc(emb, deterministic)
         return add_position_encoding(emb, self.cfg.max_position_embeddings)
 
+    def embed_position(self, tok_ids, t):
+        """Embed tokens that all sit at sequence position ``t``:
+        tok_ids (..., 1) -> (..., 1, H) with PE row t added."""
+        emb = self.word_fc(self.word_embeddings(tok_ids), True)
+        pe = jnp.asarray(
+            sinusoid_table(self.cfg.max_position_embeddings, emb.shape[-1]),
+            dtype=emb.dtype)
+        return emb + jax.lax.dynamic_index_in_dim(pe, t, axis=0,
+                                                  keepdims=False)
+
     @property
     def table(self):
         return self.word_embeddings.embedding

@@ -82,17 +82,36 @@ def attention_core(
 class MultiHeadAttention(nn.Module):
     """QKV projections + attention core.  No output projection — the
     reference's BertSelfAttention (model.py:159-220) leaves the output
-    dense to BertSelfOutput, and the decoder uses the raw context."""
+    dense to BertSelfOutput, and the decoder uses the raw context.
+
+    setup-style so cached decoding can drive the projections separately
+    (project_q / project_kv / attend)."""
     cfg: ModelConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        init = dense_init(cfg)
+        dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        self.query = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dt)
+        self.key = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dt)
+        self.value = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dt)
+
+    def project_q(self, x):
+        return self.query(x)
+
+    def project_kv(self, x):
+        return self.key(x), self.value(x)
+
+    def attend(self, q, k, v, mask):
+        return attention_core(
+            q, k, v, mask, num_heads=self.cfg.num_attention_heads,
+            dropout_rate=0.0, deterministic=True)
+
     def __call__(self, q_states, k_states, v_states, mask, deterministic=True):
         cfg = self.cfg
-        dtype = q_states.dtype
-        init = dense_init(cfg)
-        q = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype, name="query")(q_states)
-        k = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype, name="key")(k_states)
-        v = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype, name="value")(v_states)
+        q = self.query(q_states)
+        k = self.key(k_states)
+        v = self.value(v_states)
         if cfg.use_pallas and deterministic and _on_tpu():
             from svpc_tpu.ops.pallas_attention import fused_attention
             return fused_attention(q, k, v, mask, cfg.num_attention_heads)
@@ -189,32 +208,78 @@ class DecoderLayer(nn.Module):
     LN residual (residual is the *self-attn output*) → OutputBlock."""
     cfg: ModelConfig
 
-    @nn.compact
+    def setup(self):
+        self.self_attention = MultiHeadAttention(self.cfg)
+        self.norm1 = LayerNorm(self.cfg)
+        self.dec_enc_attention = MultiHeadAttention(self.cfg)
+        self.norm2 = LayerNorm(self.cfg)
+        self.output = OutputBlock(self.cfg)
+
     def __call__(self, dec, dec_mask, enc_out, enc_mask, deterministic=True):
         lt = dec.shape[1]
         causal = jnp.tril(jnp.ones((lt, lt), dtype=dec.dtype))
         self_mask = dec_mask[:, None, :] * causal[None, :, :]
 
-        attn = MultiHeadAttention(self.cfg, name="self_attention")(
-            dec, dec, dec, self_mask, deterministic=deterministic)
-        attn = LayerNorm(self.cfg, name="norm1")(attn + dec)
+        attn = self.self_attention(dec, dec, dec, self_mask,
+                                   deterministic=deterministic)
+        attn = self.norm1(attn + dec)
 
-        cross = MultiHeadAttention(self.cfg, name="dec_enc_attention")(
-            attn, enc_out, enc_out, enc_mask[:, None, :], deterministic=deterministic)
-        cross = LayerNorm(self.cfg, name="norm2")(attn + cross)
+        cross = self.dec_enc_attention(attn, enc_out, enc_out,
+                                       enc_mask[:, None, :],
+                                       deterministic=deterministic)
+        cross = self.norm2(attn + cross)
 
-        return OutputBlock(self.cfg, name="output")(cross, cross, deterministic)
+        return self.output(cross, cross, deterministic)
+
+    def step(self, x_t, k_cache, v_cache, t, enc_out, enc_mask):
+        """Incremental decode for one position.
+
+        x_t (N, 1, H); k_cache/v_cache (N, T, H) hold projected self-attn
+        keys/values for positions < t (zeros elsewhere — exactly masked
+        out, so results are bit-identical to the full recompute).
+        Returns (y_t (N, 1, H), k_cache, v_cache)."""
+        n, T, _ = k_cache.shape
+        k_t, v_t = self.self_attention.project_kv(x_t)     # (N, 1, H)
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            k_cache, k_t.astype(k_cache.dtype), t, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            v_cache, v_t.astype(v_cache.dtype), t, axis=1)
+
+        q_t = self.self_attention.project_q(x_t)           # (N, 1, H)
+        pos_ok = (jnp.arange(T)[None, None, :] <= t).astype(x_t.dtype)
+        attn = self.self_attention.attend(
+            q_t, k_cache.astype(x_t.dtype), v_cache.astype(x_t.dtype),
+            jnp.broadcast_to(pos_ok, (n, 1, T)))
+        attn = self.norm1(attn + x_t)
+
+        cross = self.dec_enc_attention(attn, enc_out, enc_out,
+                                       enc_mask[:, None, :],
+                                       deterministic=True)
+        cross = self.norm2(attn + cross)
+        y = self.output(cross, cross, True)
+        return y, k_cache, v_cache
 
 
 class Decoder(nn.Module):
     cfg: ModelConfig
 
-    @nn.compact
+    def setup(self):
+        self.layers = [DecoderLayer(self.cfg, name=f"layer_{i}")
+                       for i in range(self.cfg.num_hidden_layers)]
+
     def __call__(self, dec, dec_mask, enc_out, enc_mask, deterministic=True):
-        for i in range(self.cfg.num_hidden_layers):
-            dec = DecoderLayer(self.cfg, name=f"layer_{i}")(
-                dec, dec_mask, enc_out, enc_mask, deterministic)
+        for layer in self.layers:
+            dec = layer(dec, dec_mask, enc_out, enc_mask, deterministic)
         return dec
+
+    def step(self, x_t, caches, t, enc_out, enc_mask):
+        """One incremental position through all layers.
+        caches: list of (k_cache, v_cache) per layer."""
+        new_caches = []
+        for layer, (k_c, v_c) in zip(self.layers, caches):
+            x_t, k_c, v_c = layer.step(x_t, k_c, v_c, t, enc_out, enc_mask)
+            new_caches.append((k_c, v_c))
+        return x_t, new_caches
 
 
 class PredictionHeadTransform(nn.Module):
