@@ -74,7 +74,11 @@ def main():
             "gumbel": jax.random.PRNGKey(2)}
 
     with precision_scope(cfg.model):
-        params = model.init(rngs, batch, deterministic=True)
+        # zero params from an abstract template: skips the init compile
+        # (values don't affect throughput)
+        abstract = jax.eval_shape(
+            lambda: model.init(rngs, batch, deterministic=True))
+        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), abstract)
         tx = make_optimizer(cfg.train, steps_per_epoch=100)
         state = TrainState.create(params, tx, use_ema=True)
         train_step = jax.jit(make_train_step(model, tx, cfg),
