@@ -38,6 +38,7 @@ def main():
     batch_size = int(os.environ.get("SVPC_BENCH_BATCH", "8"))
     iters = int(os.environ.get("SVPC_BENCH_ITERS", "20"))
     compute_dtype = os.environ.get("SVPC_BENCH_DTYPE", "bfloat16")
+    packed = os.environ.get("SVPC_BENCH_PACKED", "1") == "1"
 
     # flagship vivt paper config
     cfg = Config(model=ModelConfig(model_mode="full",
@@ -56,7 +57,11 @@ def main():
         with open(baseline_path) as f:
             baseline = json.load(f)
 
-    batch_np = synthetic_batch(cfg, batch_size=batch_size, seed=0)
+    # full-length clips (98 valid feature rows, like the reference's padded
+    # 100-token spans) so the packed path gets no video-span advantage here
+    # — only the step-packing is credited, mirroring the reference workload
+    batch_np = synthetic_batch(cfg, batch_size=batch_size, seed=0,
+                               full_steps=True)
     if baseline and baseline.get("step_counts"):
         # same per-video clip distribution as the measured baseline batch,
         # tiled to our batch size — clips/sec counts identical real work
@@ -66,6 +71,11 @@ def main():
             batch_np["step_mask"][b] = 0.0
             batch_np["step_mask"][b, :c] = 1.0
     total_clips = float(batch_np["step_mask"].sum())
+
+    if packed:
+        from svpc_tpu.data.packing import pack_batch
+        batch_np = pack_batch(batch_np, cfg.model.max_t_len,
+                              clip_multiple=16)
 
     model = SVPCModel(cfg.model)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}

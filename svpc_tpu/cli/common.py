@@ -40,6 +40,9 @@ def add_common_args(p: argparse.ArgumentParser):
                    choices=["float32", "bfloat16"])
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--dp_size", type=int, default=1)
+    p.add_argument("--no_pack_clips", action="store_true",
+                   help="disable clip packing (compute the full padded "
+                        "(B, S) step grid like the reference)")
     p.add_argument("--debug", action="store_true")
 
 
@@ -69,5 +72,6 @@ def config_from_args(args) -> Config:
             batch_size=args.batch_size, val_batch_size=args.val_batch_size,
             n_epoch=args.n_epoch, seed=args.seed, lr=args.lr,
             ema_decay=args.ema_decay, dp_size=args.dp_size,
+            pack_clips=not args.no_pack_clips,
             debug=args.debug),
     )

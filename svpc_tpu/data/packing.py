@@ -1,0 +1,128 @@
+"""Clip packing: drop padded step slots before they reach the device.
+
+The reference pads every video to the batch-max step count and runs the
+model over the padded grid (recursive_caption_dataset.py:557-576); our
+dense layout likewise computes all ``B x S`` clip slots even though the
+mean YC2 video has 7.7 real steps of the 12 padded (and eval pads to 16).
+The per-clip work — the clip encoder, the decoder, the LM head + copy
+machinery — is independent across clips, so a batch can instead carry a
+*packed* axis of only the real clips:
+
+  clip_video (N,) int32   owner video index b
+  clip_step  (N,) int32   step index s within the owner
+  clip_mask  (N,) float32 1 for real clip slots, 0 for padding
+  clip_input_ids / clip_input_mask / clip_input_labels /
+  clip_token_type_ids   (N, L)
+  clip_video_feature    (N, Lv, D)
+
+Per-video arrays (ingredients, entity/action supervision, step_mask) stay
+at (B, ...).  The model scatters per-clip [CLS] summaries onto the (B, S)
+step grid for the step-level recurrence and gathers the cross-attention
+memory back per clip (model/svpc.py).
+
+Composable second saving: the video token span can be sliced to the batch
+max valid length rounded up to a bucket (mean real clip is ~40 of the 100
+padded feature rows), giving each batch the smallest static shape that
+covers it.  Each distinct (N, Lv) pair is one XLA compilation; bucketing
+keeps the set small.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from svpc_tpu import tokenization as tok
+
+Batch = Dict[str, np.ndarray]
+
+# dense per-clip arrays replaced by packed ones
+_CLIP_KEYS = ("input_ids", "input_mask", "input_labels", "token_type_ids",
+              "video_feature")
+
+
+def _round_up(n: int, multiple: int, cap: Optional[int] = None) -> int:
+    r = max(multiple, ((n + multiple - 1) // multiple) * multiple)
+    return min(r, cap) if cap is not None else r
+
+
+def pack_batch(batch: Batch, max_t_len: int,
+               n_clips: Optional[int] = None,
+               v_len: Optional[int] = None,
+               clip_multiple: int = 16,
+               v_multiple: int = 16) -> Batch:
+    """Dense (B, S, ...) batch -> packed per-clip layout.
+
+    ``n_clips`` / ``v_len`` pin the padded clip count / video span; when
+    None they are derived from the batch and rounded up to the given
+    multiples (static-shape buckets).
+    """
+    step_mask = batch["step_mask"]
+    B, S = step_mask.shape
+    L = batch["input_ids"].shape[-1]
+    Lv = L - max_t_len
+
+    b_idx, s_idx = np.nonzero(step_mask > 0)
+    n = len(b_idx)
+    N = n_clips or _round_up(n, clip_multiple)
+    if n > N:
+        raise ValueError(f"batch has {n} real clips > n_clips={N}")
+
+    # batch-max valid video length (+2 for [CLS]/[SEP]) -> bucketed span
+    if v_len is None:
+        if n:
+            valid = batch["input_mask"][b_idx, s_idx, :Lv].sum(axis=-1).max()
+        else:
+            valid = 2
+        v_len = _round_up(int(valid), v_multiple, cap=Lv)
+    if not (0 < v_len <= Lv):
+        raise ValueError(f"v_len={v_len} outside (0, {Lv}]")
+
+    out = {k: v for k, v in batch.items() if k not in _CLIP_KEYS}
+    out["clip_video"] = np.zeros((N,), np.int32)
+    out["clip_step"] = np.zeros((N,), np.int32)
+    out["clip_mask"] = np.zeros((N,), np.float32)
+    out["clip_video"][:n] = b_idx
+    out["clip_step"][:n] = s_idx
+    out["clip_mask"][:n] = 1.0
+
+    for k in ("input_ids", "input_mask", "token_type_ids", "input_labels"):
+        src = batch[k][b_idx, s_idx]  # (n, L)
+        src = np.concatenate([src[:, :v_len], src[:, Lv:]], axis=-1)
+        fill = tok.IGNORE if k == "input_labels" else 0
+        dst = np.full((N,) + src.shape[1:], fill, batch[k].dtype)
+        dst[:n] = src
+        out[f"clip_{k}"] = dst
+
+    feat = batch["video_feature"][b_idx, s_idx, :v_len]
+    dst = np.zeros((N,) + feat.shape[1:], batch["video_feature"].dtype)
+    dst[:n] = feat
+    out["clip_video_feature"] = dst
+    return out
+
+
+def is_packed(batch) -> bool:
+    return "clip_video" in batch
+
+
+def fixed_clip_budget(dataset, batch_size: int, multiple: int = 16) -> int:
+    """Max real-clip count over the dataset's deterministic (unshuffled)
+    batch partition — lets every eval batch share ONE packed shape, so the
+    decode program compiles exactly once."""
+    counts = [min(len(e["sentences"]), dataset.num_steps)
+              for e in dataset.data]
+    if not counts:
+        return multiple
+    sums = [sum(counts[i:i + batch_size])
+            for i in range(0, len(counts), batch_size)]
+    return _round_up(max(sums), multiple)
+
+
+def unpack_ids(ids: np.ndarray, batch: Batch, num_steps: int) -> np.ndarray:
+    """Scatter packed per-clip token ids (N, T) back onto (B, S, T)."""
+    B = batch["step_mask"].shape[0]
+    out = np.zeros((B, num_steps) + ids.shape[1:], ids.dtype)
+    real = batch["clip_mask"] > 0
+    out[batch["clip_video"][real], batch["clip_step"][real]] = ids[real]
+    return out

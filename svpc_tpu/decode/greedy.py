@@ -32,8 +32,16 @@ def greedy_decode(model, params, batch, rngs=None,
     results (tests/test_cached_decode.py).  Call under jit
     (see make_greedy_fn)."""
     cfg: ModelConfig = model.cfg
-    B, S, L = batch["input_ids"].shape
     T, V, C = cfg.max_t_len, cfg.vocab_size, cfg.extended_vocab_size
+    packed = "clip_video" in batch
+    if packed:
+        # pseudo-batch of packed clips: batch axis N, one step
+        B, S = batch["clip_input_ids"].shape[0], 1
+        head_batch = model.apply(params, batch,
+                                 method=type(model).clip_view)
+    else:
+        B, S, _ = batch["input_ids"].shape
+        head_batch = batch
 
     state = model.apply(params, batch, deterministic=True,
                         method=type(model).encode)
@@ -41,7 +49,7 @@ def greedy_decode(model, params, batch, rngs=None,
     if cfg.model_mode == "video":
         ext = jnp.full((B,), V, jnp.int32)
     else:
-        ext = (V + batch["oov_count"]).astype(jnp.int32)
+        ext = (V + head_batch["oov_count"]).astype(jnp.int32)
     cols = jnp.arange(C, dtype=jnp.int32)
     col_ok = cols[None, :] < ext[:, None]              # (B, C)
     col_ok = col_ok & (cols[None, :] != tok.UNK)       # UNK never wins
@@ -67,7 +75,7 @@ def greedy_decode(model, params, batch, rngs=None,
             ext_ids = jax.lax.dynamic_update_index_in_dim(
                 ext_ids, oov_next, t, axis=2)
             cur, caches = model.apply(
-                params, batch, state, next_sym, t, caches,
+                params, head_batch, state, next_sym, t, caches,
                 method=type(model).score_position_cached)
             new_next, new_oov = argmax_step(cur, next_sym)
             return (text_ids, ext_ids, new_next, new_oov, caches), None
@@ -85,8 +93,8 @@ def greedy_decode(model, params, batch, rngs=None,
             text_mask = jax.lax.dynamic_update_index_in_dim(
                 text_mask, jnp.ones((B, S), jnp.float32), t, axis=2)
 
-            cur = model.apply(params, batch, state, text_ids, text_mask, t,
-                              method=type(model).score_position)
+            cur = model.apply(params, head_batch, state, text_ids,
+                              text_mask, t, method=type(model).score_position)
             new_next, new_oov = argmax_step(cur, next_sym)
             return (text_ids, ext_ids, text_mask, new_next, new_oov), None
 
@@ -94,7 +102,15 @@ def greedy_decode(model, params, batch, rngs=None,
         (text_ids, ext_ids, _, _, _), _ = jax.lax.scan(
             step, carry0, jnp.arange(T, dtype=jnp.int32))
 
-    return text_ids if cfg.model_mode == "video" else ext_ids
+    out = text_ids if cfg.model_mode == "video" else ext_ids
+    if packed:
+        # scatter (N, 1, T) clip rows back onto the (B, S, T) grid the
+        # postprocess layer consumes
+        Bv, Sv = batch["step_mask"].shape
+        rows = out[:, 0] * batch["clip_mask"].astype(out.dtype)[:, None]
+        out = jnp.zeros((Bv, Sv, T), out.dtype).at[
+            batch["clip_video"], batch["clip_step"]].add(rows)
+    return out
 
 
 def make_greedy_fn(model):

@@ -164,3 +164,76 @@ def import_state_dict(flax_params, torch_state: Dict[str, np.ndarray],
         flat[f_key] = val.astype(np.float32)
     nested = unflatten_dict({tuple(k.split("/")): v for k, v in flat.items()})
     return {"params": nested}
+
+
+def export_state_dict(flax_params, model_mode: str,
+                      n_layers: int) -> Dict[str, np.ndarray]:
+    """Inverse of import_state_dict: a reference-named {name: np.ndarray}
+    state dict from flax params, so checkpoints trained here run under the
+    reference's test.py / dump_memories.py / translator unchanged.
+
+    ``action_embeddings`` is emitted under its ``nn.Embedding`` name
+    (``...action_embeddings.weight``, reference model.py:760)."""
+    mapping = build_mapping(model_mode, n_layers)
+    flat = {"/".join(k): v
+            for k, v in flatten_dict(flax_params["params"]).items()}
+    out: Dict[str, np.ndarray] = {}
+    for f_key, (t_key, transform) in mapping.items():
+        if f_key not in flat:
+            raise KeyError(f"flax param {f_key} not found")
+        val = np.asarray(flat[f_key], dtype=np.float32)
+        if transform == "T":
+            val = val.T
+        # action_embeddings stays a bare Parameter: reference checkpoints
+        # of record store it GloVe-injected, not as nn.Embedding.weight
+        out[t_key] = val
+    return out
+
+
+def export_reference_checkpoint(path: str, flax_params, cfg,
+                                epoch: int = 0) -> None:
+    """torch.save a reference-format ``.chkpt``
+    ({"model", "model_cfg", "opt", "epoch"} — reference train.py:401-405)."""
+    import torch
+
+    m = cfg.model
+    state = {k: torch.from_numpy(v.copy()) for k, v in export_state_dict(
+        flax_params, m.model_mode, m.num_hidden_layers).items()}
+    # the reference loads with strict=True (translator.py:38), so the
+    # deterministic sinusoidal PE buffers must be present too
+    from svpc_tpu.model.embeddings import sinusoid_table
+    pe = sinusoid_table(m.max_position_embeddings, m.hidden_size)
+    for name in ("ingredient_embeddings.position_embeddings_ingr.pe",
+                 "video_embeddings.position_embeddings_video.pe",
+                 "text_embeddings.position_embeddings_text.pe"):
+        state[name] = torch.from_numpy(pe.copy())
+    state["step_positional_encoding.pe"] = torch.from_numpy(
+        sinusoid_table(50, m.hidden_size))  # PositionEncoding(max_len=50)
+    # dead MART leftovers present in the reference state dict
+    # (BertIntermediate inside BertLayerNoMemoryUntied, model.py:573 —
+    # constructed, never called); zeros keep strict load happy
+    for enc in ("encoder", "step_wise_encoder"):
+        for i in range(m.num_hidden_layers):
+            p = f"{enc}.layer.{i}.memory_intermediate.dense"
+            state[p + ".weight"] = torch.zeros(m.intermediate_size,
+                                               m.hidden_size)
+            state[p + ".bias"] = torch.zeros(m.intermediate_size)
+    model_cfg = dict(
+        hidden_size=m.hidden_size, intermediate_size=m.intermediate_size,
+        lstm_hidden_size=m.lstm_hidden_size,
+        num_hidden_layers=m.num_hidden_layers,
+        num_attention_heads=m.num_attention_heads,
+        hidden_dropout_prob=m.hidden_dropout_prob,
+        attention_probs_dropout_prob=m.attention_probs_dropout_prob,
+        layer_norm_eps=m.layer_norm_eps, vocab_size=m.vocab_size,
+        word_vec_size=m.word_vec_size,
+        action_vocab_size=m.action_vocab_size,
+        video_feature_size=m.video_feature_size, max_v_len=m.max_v_len,
+        max_t_len=m.max_t_len, max_i_len=m.max_i_len,
+        model_mode=m.model_mode, temperature=m.temperature,
+        lambda_=m.lambda_, label_smoothing=m.label_smoothing,
+        share_wd_cls_weight=m.share_wd_cls_weight,
+        max_position_embeddings=m.max_position_embeddings,
+    )
+    torch.save({"model": state, "model_cfg": model_cfg, "opt": None,
+                "epoch": epoch}, path)

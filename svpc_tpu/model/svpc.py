@@ -107,7 +107,9 @@ class SVPCModel(nn.Module):
         """
         cfg = self.cfg
         B, S, L = batch["input_ids"].shape
-        Lv = cfg.max_v_len
+        # the video span is whatever the batch carries (the host pipeline
+        # may slice it to a bucketed length <= cfg.max_v_len)
+        Lv = L - cfg.max_t_len
         vid_feat = batch["video_feature"][:, :, :Lv, :].astype(self.compute_dtype)
         vid_ids = batch["input_ids"][:, :, :Lv]
         vid_mask = batch["input_mask"][:, :, :Lv]
@@ -126,10 +128,64 @@ class SVPCModel(nn.Module):
             deterministic=deterministic)
         return step_vectors
 
-    def encode(self, batch, deterministic=True) -> EncodedState:
-        """Full encode: clips, ingredients, reasoner, cross-attn memory."""
+    def encode_clips_packed(self, batch, deterministic=True) -> jnp.ndarray:
+        """Packed variant: encode only the real clips (N, L) and scatter
+        their [CLS] summaries onto the (B, S) step grid (zeros at padded
+        steps — masked as keys everywhere downstream, exactly like the
+        dense path's garbage-but-masked padded slots).
+
+        Avoids the reference's padded-grid work entirely (the mean YC2
+        video fills 7.7 of 12 padded train steps / 16 eval steps —
+        data/packing.py).
+        """
         cfg = self.cfg
-        step_vectors = self.encode_clips(batch, deterministic)
+        N, L = batch["clip_input_ids"].shape
+        Lv = L - cfg.max_t_len
+        B, S = batch["step_mask"].shape
+
+        feat = batch["clip_video_feature"][:, :Lv, :].astype(self.compute_dtype)
+        emb = self.video_embeddings(feat, deterministic)
+        emb = emb + self.token_type_embeddings(
+            batch["clip_input_ids"][:, :Lv]).astype(emb.dtype)
+        enc = self.encoder(emb, batch["clip_input_mask"][:, :Lv],
+                           diagonal_mask=False,
+                           deterministic=deterministic)       # (N, Lv, H)
+        cls_vec = enc[:, 0, :] * batch["clip_mask"][:, None].astype(enc.dtype)
+
+        grid = jnp.zeros((B, S, cls_vec.shape[-1]), cls_vec.dtype)
+        grid = grid.at[batch["clip_video"], batch["clip_step"]].add(cls_vec)
+
+        step_in = add_position_encoding(grid, 50)
+        return self.step_wise_encoder(
+            step_in, batch["step_mask"], diagonal_mask=False,
+            deterministic=deterministic)
+
+    def clip_view(self, batch) -> Dict[str, jnp.ndarray]:
+        """Per-clip view of the per-video arrays the LM head + pointer
+        machinery read — lets score_text / score_position_cached run on a
+        packed (N, 1, ...) pseudo-batch unchanged."""
+        cv = batch["clip_video"]
+        return dict(
+            entity_mask=batch["entity_mask"][cv],
+            copy_ids=batch["copy_ids"][cv],
+            copy_weights=batch["copy_weights"][cv],
+            oov_count=batch["oov_count"][cv],
+        )
+
+    def encode(self, batch, deterministic=True) -> EncodedState:
+        """Full encode: clips, ingredients, reasoner, cross-attn memory.
+
+        Handles both layouts: dense (B, S, ...) grids and packed per-clip
+        batches (data/packing.py), where ga_inputs / pointer_vectors come
+        out gathered per clip as (N, 1, M, H) / (N, 1, E, H) — a pseudo-
+        batch with batch axis N and one step, on which every downstream
+        scorer works unchanged."""
+        cfg = self.cfg
+        packed = "clip_video" in batch
+        if packed:
+            step_vectors = self.encode_clips_packed(batch, deterministic)
+        else:
+            step_vectors = self.encode_clips(batch, deterministic)
         B, S, H = step_vectors.shape
 
         ingr_vectors = None
@@ -164,6 +220,12 @@ class SVPCModel(nn.Module):
                 ingr_vectors[:, None], (B, S) + ingr_vectors.shape[1:])
         else:  # video
             ga_inputs = step_vectors[:, :, None, :]           # (B, S, 1, H)
+
+        if packed:
+            cv, cs = batch["clip_video"], batch["clip_step"]
+            ga_inputs = ga_inputs[cv, cs][:, None]            # (N, 1, M, H)
+            if pointer_vectors is not None:
+                pointer_vectors = pointer_vectors[cv, cs][:, None]
 
         return EncodedState(
             step_vectors=step_vectors,
@@ -274,15 +336,23 @@ class SVPCModel(nn.Module):
     # ------------------------------------------------------------------ #
 
     def reconstruct(self, batch, prediction_scores, text_mask, ingr_vectors,
-                    deterministic=True) -> ReasonerOutputs:
+                    deterministic=True,
+                    oov_count: Optional[jnp.ndarray] = None) -> ReasonerOutputs:
         """Straight-through re-simulation over generated text
-        (reference model.py:1017-1025)."""
+        (reference model.py:1017-1025).
+
+        Dense: prediction_scores (B, S, T, C).  Packed: (N, 1, T, C) with
+        ``oov_count`` the per-clip gather; the per-step BoW means are
+        scattered onto the (B, S) grid before the recipe BiLSTM."""
         cfg = self.cfg
-        B, S, T, C = prediction_scores.shape
+        packed = "clip_video" in batch
+        _, _, T, C = prediction_scores.shape
         eps = 1e-12
         logits = jnp.log(prediction_scores + eps)
         # exclude the fixed-shape padding columns the reference never has
-        ext = (cfg.vocab_size + batch["oov_count"]).astype(jnp.int32)
+        if oov_count is None:
+            oov_count = batch["oov_count"]
+        ext = (cfg.vocab_size + oov_count).astype(jnp.int32)
         cols = jnp.arange(C, dtype=jnp.int32)
         logits = jnp.where(cols[None, None, None, :] < ext[:, None, None, None],
                            logits, NEG_INF)
@@ -293,6 +363,13 @@ class SVPCModel(nn.Module):
         tm = text_mask[..., None]
         counts = jnp.maximum(jnp.sum(tm, axis=2), 1.0)
         step_bow = jnp.sum(bow * tm, axis=2) / counts          # (B, S, W)
+
+        if packed:  # scatter per-clip rows onto the step grid
+            B, S = batch["step_mask"].shape
+            rows = step_bow[:, 0] * batch["clip_mask"][:, None] \
+                .astype(step_bow.dtype)
+            step_bow = jnp.zeros((B, S, rows.shape[-1]), rows.dtype) \
+                .at[batch["clip_video"], batch["clip_step"]].add(rows)
 
         hs = self.recipe_encoder(step_bow, batch["step_mask"])  # (B, S, 2H)
         hs = hs[..., : cfg.hidden_size] + hs[..., cfg.hidden_size:]
@@ -306,24 +383,38 @@ class SVPCModel(nn.Module):
     def __call__(self, batch, deterministic: bool = True,
                  return_memory: bool = False) -> ModelOutputs:
         cfg = self.cfg
-        Lv = cfg.max_v_len
-        B, S, L = batch["input_ids"].shape
         T = cfg.max_t_len
+        packed = "clip_video" in batch
 
         state = self.encode(batch, deterministic)
 
-        text_ids = batch["input_ids"][:, :, Lv:]
-        text_mask = batch["input_mask"][:, :, Lv:]
-        labels = batch["input_labels"][:, :, Lv:]              # extended ids
+        if packed:
+            # pseudo-batch: batch axis = packed clips, one step
+            N, L = batch["clip_input_ids"].shape
+            Lv = L - T
+            B, S = N, 1
+            text_ids = batch["clip_input_ids"][:, None, Lv:]
+            text_mask = batch["clip_input_mask"][:, None, Lv:]
+            labels = batch["clip_input_labels"][:, None, Lv:]
+            head_batch = self.clip_view(batch)
+        else:
+            B, S, L = batch["input_ids"].shape
+            Lv = L - T
+            text_ids = batch["input_ids"][:, :, Lv:]
+            text_mask = batch["input_mask"][:, :, Lv:]
+            labels = batch["input_labels"][:, :, Lv:]          # extended ids
+            head_batch = batch
 
         if cfg.model_mode == "video":
             # OOV labels fold to UNK (model.py:1013)
             labels = jnp.where(labels >= cfg.vocab_size, tok.UNK, labels)
             ext_size = jnp.full((B,), cfg.vocab_size, jnp.int32)
         else:
-            ext_size = (cfg.vocab_size + batch["oov_count"]).astype(jnp.int32)
+            ext_size = (cfg.vocab_size
+                        + head_batch["oov_count"]).astype(jnp.int32)
 
-        probs = self.score_text(batch, state, text_ids, text_mask, deterministic)
+        probs = self.score_text(head_batch, state, text_ids, text_mask,
+                                deterministic)
 
         # caption loss — only over C_actual columns; rows from padded steps
         # carry IGNORE labels already (data pipeline)
@@ -354,7 +445,8 @@ class SVPCModel(nn.Module):
 
         if cfg.model_mode == "full":
             re = self.reconstruct(batch, probs, text_mask,
-                                  state.ingr_vectors, deterministic)
+                                  state.ingr_vectors, deterministic,
+                                  oov_count=head_batch["oov_count"])
             sup_mask = (batch["step_mask"][..., None]
                         * batch["entity_mask"][:, None, :])
             re_entity_loss = bce_sum(re.ent_probs, batch["alignment"], sup_mask)

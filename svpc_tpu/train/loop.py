@@ -84,6 +84,38 @@ def init_model(cfg: Config, sample_batch, rng_seed: int = None,
     return model, params
 
 
+def packing_transform(cfg: Config, mesh=None, n_clips: Optional[int] = None,
+                      v_len: Optional[int] = None):
+    """Host-side batch transform: clip packing (when enabled and not
+    data-parallel — the packed clip axis doesn't shard along the per-video
+    axis) composed with bf16 feature casting for the fast path.
+
+    ``n_clips``/``v_len`` pin the packed shape (one compile — right for
+    eval); left None they bucket per batch (a handful of compiles — right
+    for shuffled training)."""
+    pack = cfg.train.pack_clips and mesh is None
+    cast = cfg.model.compute_dtype == "bfloat16"
+    if not (pack or cast):
+        return None
+    from svpc_tpu.data.packing import pack_batch
+
+    def transform(b):
+        if pack:
+            b = pack_batch(b, cfg.model.max_t_len,
+                           n_clips=n_clips, v_len=v_len,
+                           clip_multiple=cfg.train.pack_clip_multiple,
+                           v_multiple=cfg.train.pack_v_multiple)
+        if cast:
+            import ml_dtypes  # numpy bf16 support (jax dependency)
+            key = ("clip_video_feature" if "clip_video_feature" in b
+                   else "video_feature")
+            b = dict(b)
+            b[key] = b[key].astype(ml_dtypes.bfloat16)
+        return b
+
+    return transform
+
+
 def run_greedy_eval(model, params, dataset: CaptionDataset, cfg: Config,
                     mesh=None, max_batches: Optional[int] = None,
                     beam_size: int = 0) -> dict:
@@ -97,14 +129,24 @@ def run_greedy_eval(model, params, dataset: CaptionDataset, cfg: Config,
         from svpc_tpu.decode.beam import beam_decode
         jit_decode = jax.jit(
             lambda p, b: beam_decode(model, p, b, beam_size=beam_size))
+        transform = None  # beam runs on the dense layout
     else:
         jit_decode = jax.jit(
             lambda p, b: greedy_decode(model, p, b))
+        # fixed packed shape across all eval batches -> one decode compile
+        from svpc_tpu.data.packing import fixed_clip_budget
+        transform = packing_transform(
+            cfg, mesh,
+            n_clips=fixed_clip_budget(dataset, eff_bs,
+                                      cfg.train.pack_clip_multiple),
+            v_len=cfg.model.max_v_len)
     results = None
     n = 0
     with precision_scope(cfg.model):
         for batch, metas in dataset.batches(cfg.train.val_batch_size,
                                             shuffle=False):
+            if transform is not None:
+                batch = transform(batch)
             if mesh is not None:
                 batch = shard_batch(mesh, batch)
             ids = np.asarray(jit_decode(params, batch))
@@ -192,6 +234,13 @@ def train(cfg: Config, workdir: str,
     ref_para_path = os.path.join(
         cfg.data.data_dir, "yc2_split_val_anet_format_para.json")
 
+    from svpc_tpu.data.packing import fixed_clip_budget
+    val_transform = packing_transform(
+        cfg, mesh,
+        n_clips=fixed_clip_budget(val_ds, cfg.train.val_batch_size,
+                                  cfg.train.pack_clip_multiple),
+        v_len=cfg.model.max_v_len) if len(val_ds) else None
+
     best_cider = 0.0
     es_cnt = 0
     history = []
@@ -204,15 +253,7 @@ def train(cfg: Config, workdir: str,
             from svpc_tpu.data.prefetch import prefetch_to_device
             from svpc_tpu.parallel.mesh import batch_sharding
 
-            transform = None
-            if cfg.model.compute_dtype == "bfloat16":
-                import ml_dtypes  # numpy bf16 support (jax dependency)
-
-                def transform(b):  # halve feature host->device traffic
-                    b = dict(b)
-                    b["video_feature"] = b["video_feature"].astype(
-                        ml_dtypes.bfloat16)
-                    return b
+            transform = packing_transform(cfg, mesh)
             batch_iter = prefetch_to_device(
                 train_ds.batches(cfg.train.batch_size, shuffle=True,
                                  seed=cfg.train.seed + epoch),
@@ -245,11 +286,14 @@ def train(cfg: Config, workdir: str,
                             f"{math.exp(min(train_m['loss_per_word'], 100)):.5f},"
                             f"{100 * train_m['acc']:.3f}\n")
 
-            # teacher-forced validation on EMA params
+            # teacher-forced validation on EMA params (fixed packed shape
+            # across epochs -> one eval_step compile)
             eval_params = state.eval_params()
             vmetrics = []
             for j, (batch, _) in enumerate(val_ds.batches(
                     cfg.train.val_batch_size)):
+                if val_transform is not None:
+                    batch = val_transform(batch)
                 if mesh is not None:
                     batch = shard_batch(mesh, batch)
                 vmetrics.append(eval_step(eval_params, batch,

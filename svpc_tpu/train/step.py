@@ -24,11 +24,16 @@ from svpc_tpu.train.state import TrainState
 
 def batch_metrics(out, batch, cfg) -> Dict[str, jnp.ndarray]:
     """Sum-counts for the epoch aggregator."""
-    Lv = cfg.model.max_v_len
+    T = cfg.model.max_t_len
     # token accuracy vs the UNMUTATED extended labels (the reference's
     # cal_performance uses the original labels even in video mode, where
-    # OOV-labeled positions can never be predicted — train.py:32-38,134-138)
-    labels = batch["input_labels"][:, :, Lv:]
+    # OOV-labeled positions can never be predicted — train.py:32-38,134-138).
+    # The text span is the last T columns in both the dense and packed
+    # layouts, whatever the (possibly bucketed) video span length.
+    if "clip_video" in batch:
+        labels = batch["clip_input_labels"][:, None, -T:]
+    else:
+        labels = batch["input_labels"][:, :, -T:]
     pred = jnp.argmax(out.prediction_scores, axis=-1)
     valid = labels != tok.IGNORE
     n_correct = jnp.sum((pred == labels) & valid)

@@ -1,0 +1,93 @@
+"""Greedy-decode throughput on one chip (packed vs dense layouts).
+
+Counterpart of the decode half of tools/bench_reference.py; same
+clip-count accounting (real clips per step_mask).
+
+Run:  python tools/bench_decode.py [--batch_size 8] [--iters 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--model_mode", default="full")
+    p.add_argument("--dtype", default="float32",
+                   help="parity path is float32; bfloat16 for speed")
+    p.add_argument("--packed", type=int, default=1)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from svpc_tpu.config import Config, ModelConfig, TrainConfig
+    from svpc_tpu.data.synthetic import synthetic_batch
+    from svpc_tpu.decode.greedy import greedy_decode
+    from svpc_tpu.model import SVPCModel
+    from svpc_tpu.precision import precision_scope
+    from svpc_tpu.runtime import init_runtime
+
+    init_runtime()
+    cfg = Config(model=ModelConfig(model_mode=args.model_mode,
+                                   compute_dtype=args.dtype),
+                 train=TrainConfig(batch_size=args.batch_size))
+
+    batch_np = synthetic_batch(cfg, batch_size=args.batch_size, seed=0,
+                               full_steps=True)
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "reference_baseline.json")
+    baseline = json.load(open(base)) if os.path.exists(base) else None
+    if baseline and baseline.get("step_counts"):
+        src = baseline["step_counts"]
+        counts = (src * (args.batch_size // len(src) + 1))[:args.batch_size]
+        for b, c in enumerate(counts):
+            batch_np["step_mask"][b] = 0.0
+            batch_np["step_mask"][b, :c] = 1.0
+    total_clips = float(batch_np["step_mask"].sum())
+
+    if args.packed:
+        from svpc_tpu.data.packing import pack_batch
+        batch_np = pack_batch(batch_np, cfg.model.max_t_len, clip_multiple=16)
+
+    model = SVPCModel(cfg.model)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    with precision_scope(cfg.model):
+        abstract = jax.eval_shape(
+            lambda: model.init(rngs, batch, deterministic=True))
+        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), abstract)
+        fn = jax.jit(lambda p, b: greedy_decode(model, p, b))
+
+        ids = fn(params, batch)
+        ids[0, 0, 0].item()  # sync (block_until_ready is a no-op on axon)
+
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            ids = fn(params, batch)
+        ids[0, 0, 0].item()
+        dt = (time.perf_counter() - t0) / args.iters
+
+    cps = total_clips / dt
+    vs = (cps / baseline["decode_clips_per_sec"]) if baseline else None
+    print(json.dumps({
+        "metric": "decode_clips_per_sec_per_chip",
+        "value": round(cps, 2), "unit": "clips/sec",
+        "packed": bool(args.packed), "dtype": args.dtype,
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
