@@ -93,7 +93,8 @@ def main():
         state = TrainState.create(params, tx, use_ema=True)
         train_step = jax.jit(make_train_step(model, tx, cfg),
                              donate_argnums=0)
-        rng = jax.random.PRNGKey(3)
+        from svpc_tpu.train.optim import training_rng
+        rng = training_rng(3, cfg.train.rng_impl)
 
         # warmup / compile.  NOTE: block_until_ready is a no-op on the
         # experimental axon platform — force a host transfer to sync.

@@ -156,6 +156,13 @@ class TrainConfig:
     pack_clips: bool = True
     pack_clip_multiple: int = 16    # packed-clip-count bucket granularity
     pack_v_multiple: int = 16       # video-span bucket granularity
+    # PRNG implementation for the training-time stochastic paths (dropout,
+    # gumbel).  "rbg" uses the hardware RngBitGenerator — measured 1.6x
+    # faster per train step than threefry on v5e (threefry generates the
+    # dropout masks + the (N,T,C) gumbel noise in software).  Streams are
+    # implementation-specific, i.e. this is a seed-like change; parity
+    # tests pin the noise itself and are unaffected.
+    rng_impl: str = "rbg"           # "rbg" | "threefry2x32"
 
 
 @dataclass(frozen=True)

@@ -223,7 +223,8 @@ def train(cfg: Config, workdir: str,
 
     train_step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
     eval_step = jax.jit(make_eval_step(model, cfg))
-    rng = jax.random.PRNGKey(cfg.train.seed)
+    from svpc_tpu.train.optim import training_rng
+    rng = training_rng(cfg.train.seed, cfg.train.rng_impl)
 
     # csv logs, same columns as the reference (train.py:370-372)
     train_log = open(os.path.join(workdir, "train.log.csv"), "w")
@@ -297,7 +298,8 @@ def train(cfg: Config, workdir: str,
                 if mesh is not None:
                     batch = shard_batch(mesh, batch)
                 vmetrics.append(eval_step(eval_params, batch,
-                                          jax.random.PRNGKey(epoch)))
+                                          training_rng(epoch,
+                                                       cfg.train.rng_impl)))
                 if max_steps_per_epoch and j + 1 >= max_steps_per_epoch:
                     break
             val_m = aggregate_metrics(jax.device_get(vmetrics))
