@@ -151,8 +151,8 @@ class TrainConfig:
     # clip packing (data/packing.py): compute only real clips instead of
     # the padded (B, S) grid, with video-span bucketing.  Bit-equivalent
     # results (tests/test_packed.py); ~35% less clip-encoder/decoder work
-    # on YC2's step distribution.  Auto-disabled under dp_size > 1 (the
-    # packed clip axis doesn't shard along the per-video batch axis).
+    # on YC2's step distribution.  Under dp_size > 1 each dp shard packs
+    # separately so clips stay co-located with their videos' arrays.
     pack_clips: bool = True
     pack_clip_multiple: int = 16    # packed-clip-count bucket granularity
     pack_v_multiple: int = 16       # video-span bucket granularity

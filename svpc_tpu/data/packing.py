@@ -51,28 +51,42 @@ def pack_batch(batch: Batch, max_t_len: int,
                n_clips: Optional[int] = None,
                v_len: Optional[int] = None,
                clip_multiple: int = 16,
-               v_multiple: int = 16) -> Batch:
+               v_multiple: int = 16,
+               dp_shards: int = 1) -> Batch:
     """Dense (B, S, ...) batch -> packed per-clip layout.
 
-    ``n_clips`` / ``v_len`` pin the padded clip count / video span; when
-    None they are derived from the batch and rounded up to the given
-    multiples (static-shape buckets).
+    ``n_clips`` / ``v_len`` pin the padded clip count (per shard) / video
+    span; when None they are derived from the batch and rounded up to the
+    given multiples (static-shape buckets).
+
+    ``dp_shards > 1`` packs each contiguous B/dp video group separately
+    (same per-shard clip count, global video indices), so the packed clip
+    axis shards along the data-parallel mesh axis with every clip placed
+    on the shard that owns its video's per-video arrays.
     """
     step_mask = batch["step_mask"]
     B, S = step_mask.shape
     L = batch["input_ids"].shape[-1]
     Lv = L - max_t_len
+    if B % dp_shards:
+        raise ValueError(f"batch {B} not divisible by dp_shards={dp_shards}")
+    Bs = B // dp_shards
 
-    b_idx, s_idx = np.nonzero(step_mask > 0)
-    n = len(b_idx)
-    N = n_clips or _round_up(n, clip_multiple)
-    if n > N:
-        raise ValueError(f"batch has {n} real clips > n_clips={N}")
+    groups = []  # (b_idx, s_idx) per shard, global video indices
+    for g in range(dp_shards):
+        gm = np.zeros_like(step_mask)
+        gm[g * Bs:(g + 1) * Bs] = step_mask[g * Bs:(g + 1) * Bs]
+        groups.append(np.nonzero(gm > 0))
+    n_max = max(len(b) for b, _ in groups)
+    N = n_clips or _round_up(n_max, clip_multiple)
+    if n_max > N:
+        raise ValueError(f"shard has {n_max} real clips > n_clips={N}")
 
     # batch-max valid video length (+2 for [CLS]/[SEP]) -> bucketed span
     if v_len is None:
-        if n:
-            valid = batch["input_mask"][b_idx, s_idx, :Lv].sum(axis=-1).max()
+        b_all, s_all = np.nonzero(step_mask > 0)
+        if len(b_all):
+            valid = batch["input_mask"][b_all, s_all, :Lv].sum(axis=-1).max()
         else:
             valid = 2
         v_len = _round_up(int(valid), v_multiple, cap=Lv)
@@ -80,25 +94,35 @@ def pack_batch(batch: Batch, max_t_len: int,
         raise ValueError(f"v_len={v_len} outside (0, {Lv}]")
 
     out = {k: v for k, v in batch.items() if k not in _CLIP_KEYS}
-    out["clip_video"] = np.zeros((N,), np.int32)
-    out["clip_step"] = np.zeros((N,), np.int32)
-    out["clip_mask"] = np.zeros((N,), np.float32)
-    out["clip_video"][:n] = b_idx
-    out["clip_step"][:n] = s_idx
-    out["clip_mask"][:n] = 1.0
-
+    total = N * dp_shards
+    out["clip_video"] = np.zeros((total,), np.int32)
+    out["clip_step"] = np.zeros((total,), np.int32)
+    out["clip_mask"] = np.zeros((total,), np.float32)
+    clip_arrays = {}
     for k in ("input_ids", "input_mask", "token_type_ids", "input_labels"):
-        src = batch[k][b_idx, s_idx]  # (n, L)
-        src = np.concatenate([src[:, :v_len], src[:, Lv:]], axis=-1)
         fill = tok.IGNORE if k == "input_labels" else 0
-        dst = np.full((N,) + src.shape[1:], fill, batch[k].dtype)
-        dst[:n] = src
-        out[f"clip_{k}"] = dst
+        clip_arrays[k] = np.full((total, v_len + max_t_len), fill,
+                                 batch[k].dtype)
+    clip_arrays["video_feature"] = np.zeros(
+        (total, v_len) + batch["video_feature"].shape[3:],
+        batch["video_feature"].dtype)
 
-    feat = batch["video_feature"][b_idx, s_idx, :v_len]
-    dst = np.zeros((N,) + feat.shape[1:], batch["video_feature"].dtype)
-    dst[:n] = feat
-    out["clip_video_feature"] = dst
+    for g, (b_idx, s_idx) in enumerate(groups):
+        n = len(b_idx)
+        lo = g * N
+        out["clip_video"][lo:lo + n] = b_idx
+        out["clip_step"][lo:lo + n] = s_idx
+        out["clip_mask"][lo:lo + n] = 1.0
+        for k in ("input_ids", "input_mask", "token_type_ids",
+                  "input_labels"):
+            src = batch[k][b_idx, s_idx]  # (n, L)
+            clip_arrays[k][lo:lo + n] = np.concatenate(
+                [src[:, :v_len], src[:, Lv:]], axis=-1)
+        clip_arrays["video_feature"][lo:lo + n] = \
+            batch["video_feature"][b_idx, s_idx, :v_len]
+
+    for k, v in clip_arrays.items():
+        out[f"clip_{k}"] = v
     return out
 
 
@@ -106,16 +130,21 @@ def is_packed(batch) -> bool:
     return "clip_video" in batch
 
 
-def fixed_clip_budget(dataset, batch_size: int, multiple: int = 16) -> int:
-    """Max real-clip count over the dataset's deterministic (unshuffled)
-    batch partition — lets every eval batch share ONE packed shape, so the
-    decode program compiles exactly once."""
+def fixed_clip_budget(dataset, batch_size: int, multiple: int = 16,
+                      dp_shards: int = 1) -> int:
+    """Max real-clip count (per dp shard) over the dataset's deterministic
+    (unshuffled) batch partition — lets every eval batch share ONE packed
+    shape, so the decode program compiles exactly once."""
     counts = [min(len(e["sentences"]), dataset.num_steps)
               for e in dataset.data]
     if not counts:
         return multiple
-    sums = [sum(counts[i:i + batch_size])
-            for i in range(0, len(counts), batch_size)]
+    group = max(1, batch_size // dp_shards)
+    sums = []
+    for i in range(0, len(counts), batch_size):
+        window = counts[i:i + batch_size]
+        sums.extend(sum(window[j:j + group])
+                    for j in range(0, len(window), group))
     return _round_up(max(sums), multiple)
 
 

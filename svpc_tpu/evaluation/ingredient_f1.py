@@ -72,3 +72,43 @@ def ingredient_f1(
     f1 = (2 * recall * precision / (recall + precision)
           if recall + precision else 0.0)
     return {"recall": recall, "precision": precision, "f1": f1}
+
+
+def score_submission_file(caption_path: str, data_dir: str,
+                          split: str = "test") -> Dict[str, float]:
+    """Score an anet-format submission JSON ({"results": {vid: [{sentence,
+    ...}]}}) against the split's GT — the reference's standalone entry
+    point (calculate_ingredient_f1.py:74-105)."""
+    from svpc_tpu.data.anet import SPLIT_FILES
+    with open(os.path.join(data_dir, SPLIT_FILES[split])) as f:
+        gt_data = json.load(f)
+    gt = {rid: {"ingredients": a["ingredients"], "sentences": a["sentences"]}
+          for rid, a in gt_data.items()}
+    with open(caption_path) as f:
+        sub = json.load(f)
+    gen = {rid: {"ingredients": gt[rid]["ingredients"],
+                 "sentences": [o["sentence"] for o in outs]}
+           for rid, outs in sub["results"].items() if rid in gt}
+    return ingredient_f1(gt, gen, build_ingredient_dictionary(data_dir))
+
+
+def main():
+    import argparse
+    p = argparse.ArgumentParser(
+        description="Standalone ingredient-F1 scoring of a prediction JSON "
+                    "(mirrors src/calculate_ingredient_f1.py)")
+    p.add_argument("--model_name", default="model",
+                   help="label for the printed result")
+    p.add_argument("--caption_path", required=True,
+                   help="anet-format submission JSON")
+    p.add_argument("--data_dir", default="densevid_eval/yc2_data")
+    p.add_argument("--split", default="test")
+    args = p.parse_args()
+    scores = score_submission_file(args.caption_path, args.data_dir,
+                                   args.split)
+    print(f"{args.model_name}: recall {scores['recall']:.4f} "
+          f"precision {scores['precision']:.4f} f1 {scores['f1']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -93,18 +93,22 @@ def packing_transform(cfg: Config, mesh=None, n_clips: Optional[int] = None,
     ``n_clips``/``v_len`` pin the packed shape (one compile — right for
     eval); left None they bucket per batch (a handful of compiles — right
     for shuffled training)."""
-    pack = cfg.train.pack_clips and mesh is None
+    pack = cfg.train.pack_clips
     cast = cfg.model.compute_dtype == "bfloat16"
     if not (pack or cast):
         return None
     from svpc_tpu.data.packing import pack_batch
+    # under data parallelism each dp shard is packed separately (same
+    # per-shard clip count, clips co-located with their videos' arrays)
+    dp = mesh.shape.get("dp", 1) if mesh is not None else 1
 
     def transform(b):
         if pack:
             b = pack_batch(b, cfg.model.max_t_len,
                            n_clips=n_clips, v_len=v_len,
                            clip_multiple=cfg.train.pack_clip_multiple,
-                           v_multiple=cfg.train.pack_v_multiple)
+                           v_multiple=cfg.train.pack_v_multiple,
+                           dp_shards=dp)
         if cast:
             import ml_dtypes  # numpy bf16 support (jax dependency)
             key = ("clip_video_feature" if "clip_video_feature" in b
@@ -137,8 +141,9 @@ def run_greedy_eval(model, params, dataset: CaptionDataset, cfg: Config,
         from svpc_tpu.data.packing import fixed_clip_budget
         transform = packing_transform(
             cfg, mesh,
-            n_clips=fixed_clip_budget(dataset, eff_bs,
-                                      cfg.train.pack_clip_multiple),
+            n_clips=fixed_clip_budget(
+                dataset, eff_bs, cfg.train.pack_clip_multiple,
+                dp_shards=mesh.shape.get("dp", 1) if mesh else 1),
             v_len=cfg.model.max_v_len)
     results = None
     n = 0
@@ -238,8 +243,9 @@ def train(cfg: Config, workdir: str,
     from svpc_tpu.data.packing import fixed_clip_budget
     val_transform = packing_transform(
         cfg, mesh,
-        n_clips=fixed_clip_budget(val_ds, cfg.train.val_batch_size,
-                                  cfg.train.pack_clip_multiple),
+        n_clips=fixed_clip_budget(
+            val_ds, cfg.train.val_batch_size, cfg.train.pack_clip_multiple,
+            dp_shards=mesh.shape.get("dp", 1) if mesh else 1),
         v_len=cfg.model.max_v_len) if len(val_ds) else None
 
     best_cider = 0.0

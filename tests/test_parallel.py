@@ -81,3 +81,41 @@ def test_dp_tp_loss_matches_single_device():
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_packed_dp_loss_matches_single_device():
+    """Per-shard clip packing under the dp mesh (data/packing.py
+    dp_shards>1) must reproduce the dense single-device loss — every clip
+    lands on the shard owning its video's per-video arrays."""
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.config import tiny_test_config
+    from svpc_tpu.data.packing import pack_batch
+    from svpc_tpu.data.synthetic import synthetic_batch
+    from svpc_tpu.model import SVPCModel
+    from svpc_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    cfg = tiny_test_config("reason_copy")
+    model = SVPCModel(cfg.model)
+    batch_np = synthetic_batch(cfg, batch_size=8, seed=2)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    params = model.init(rngs, batch, deterministic=True)
+
+    def loss_fn(p, b):
+        return model.apply(p, b, deterministic=True,
+                           rngs={"gumbel": jax.random.PRNGKey(3)}).total_loss
+
+    single = float(jax.jit(loss_fn)(params, batch))
+
+    packed_np = pack_batch(batch_np, cfg.model.max_t_len, clip_multiple=2,
+                           dp_shards=8)
+    assert packed_np["clip_video"].shape[0] % 8 == 0
+
+    mesh = make_mesh(dp_size=8)
+    params_r = replicate(mesh, params)
+    batch_s = shard_batch(mesh, packed_np)
+    dp = float(jax.jit(loss_fn)(params_r, batch_s))
+    np.testing.assert_allclose(dp, single, rtol=1e-5)
