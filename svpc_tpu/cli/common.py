@@ -43,6 +43,10 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--no_pack_clips", action="store_true",
                    help="disable clip packing (compute the full padded "
                         "(B, S) step grid like the reference)")
+    p.add_argument("--length_group", type=int, default=0,
+                   help="sort windows of K*batch_size shuffled videos by "
+                        "clip length before batching (smaller video-span "
+                        "buckets under packing); 0 = uniform shuffle")
     p.add_argument("--debug", action="store_true")
 
 
@@ -73,5 +77,6 @@ def config_from_args(args) -> Config:
             n_epoch=args.n_epoch, seed=args.seed, lr=args.lr,
             ema_decay=args.ema_decay, dp_size=args.dp_size,
             pack_clips=not args.no_pack_clips,
+            length_group=args.length_group,
             debug=args.debug),
     )

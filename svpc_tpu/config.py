@@ -163,6 +163,11 @@ class TrainConfig:
     # implementation-specific, i.e. this is a seed-like change; parity
     # tests pin the noise itself and are unaffected.
     rng_impl: str = "rbg"           # "rbg" | "threefry2x32"
+    # length-grouped shuffling: sort each window of K*batch_size shuffled
+    # videos by (max clip frames, step count) before cutting batches, so
+    # packed batches of similar clip length get small video-span buckets.
+    # 0 = uniform shuffle (the reference's behavior).
+    length_group: int = 0
 
 
 @dataclass(frozen=True)

@@ -322,17 +322,46 @@ class CaptionDataset:
         )
         return Example(arrays=arrays, meta=meta)
 
+    def work_key(self, index: int):
+        """(max clip frames, step count) — the two geometry drivers of a
+        video's packed compute cost (video-span bucket x clip count)."""
+        e = self.data[index]
+        frm2sec = self.frame_to_second[self.video_name(e["name"])]
+        n = min(len(e["sentences"]), self.num_steps)
+        mx = max(int((ts[1] - ts[0]) / frm2sec) + 1
+                 for ts in e["timestamps"][:n])
+        return (min(mx, self.cfg.model.max_v_len - 2), n)
+
     def batches(self, batch_size: int, shuffle: bool = False,
                 seed: int = 0, drop_remainder: bool = False,
-                pad_to_batch: bool = True):
-        """Yield (Batch, metas) pairs."""
+                pad_to_batch: bool = True, length_group: int = 0):
+        """Yield (Batch, metas) pairs.
+
+        ``length_group=K`` (with shuffle) sorts each window of
+        K*batch_size shuffled videos by work_key before cutting batches,
+        then shuffles the batch order — batches of similar clip length get
+        small video-span buckets under packing while the epoch stays
+        stochastic.  The reference shuffles uniformly (and pays batch-max
+        padding on every batch)."""
+        rng = np.random.RandomState(seed)
         order = np.arange(len(self))
         if shuffle:
-            order = np.random.RandomState(seed).permutation(order)
-        for i in range(0, len(order), batch_size):
-            idx = order[i:i + batch_size]
+            order = rng.permutation(order)
+        if length_group and shuffle and len(order):
+            window = max(batch_size, length_group * batch_size)
+            batches = []
+            for i in range(0, len(order), window):
+                w = sorted(order[i:i + window],
+                           key=lambda j: self.work_key(int(j)))
+                batches.extend(w[j:j + batch_size]
+                               for j in range(0, len(w), batch_size))
+            rng.shuffle(batches)
+        else:
+            batches = [order[i:i + batch_size]
+                       for i in range(0, len(order), batch_size)]
+        for idx in batches:
             if drop_remainder and len(idx) < batch_size:
-                return
+                continue
             examples = [self[int(j)] for j in idx]
             batch = batch_examples(examples)
             if pad_to_batch and len(idx) < batch_size:

@@ -263,7 +263,8 @@ def train(cfg: Config, workdir: str,
             transform = packing_transform(cfg, mesh)
             batch_iter = prefetch_to_device(
                 train_ds.batches(cfg.train.batch_size, shuffle=True,
-                                 seed=cfg.train.seed + epoch),
+                                 seed=cfg.train.seed + epoch,
+                                 length_group=cfg.train.length_group),
                 size=2,
                 sharding=batch_sharding(mesh) if mesh is not None else None,
                 transform=transform)

@@ -46,3 +46,29 @@ def test_train_loop_end_to_end(tmp_path):
         assert "Bleu_4" in h["lang"]
     subs = json.load(open(tmp_path / "greedy_pred_val_epoch1.json"))
     assert len(subs["results"]) >= 1
+
+
+def test_run_greedy_eval_packed_matches_dense():
+    """The eval pipeline's packed decode (fixed clip budget) must emit the
+    same submission JSON as the dense layout."""
+    import jax
+    names, feat_dir, dur_file = rb.setup_features(3)
+    cfg, ds = rb.build_ours("reason_copy", feat_dir, dur_file)
+    cfg = cfg.replace_train(val_batch_size=2)
+
+    from svpc_tpu.data.pipeline import batch_examples
+    from svpc_tpu.model import SVPCModel
+    import jax.numpy as jnp
+    model = SVPCModel(cfg.model)
+    batch = {k: jnp.asarray(v) for k, v in batch_examples([ds[0]]).items()}
+    rngs = {"params": jax.random.PRNGKey(5),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    params = model.init(rngs, batch, deterministic=True)
+
+    from svpc_tpu.train.loop import run_greedy_eval
+    sub_packed = run_greedy_eval(model, params, ds, cfg)
+    sub_dense = run_greedy_eval(model, params, ds,
+                                cfg.replace_train(pack_clips=False))
+    assert sub_packed == sub_dense
+    assert len(sub_packed["results"]) == len(ds)
