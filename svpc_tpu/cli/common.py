@@ -35,6 +35,8 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=2019)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--ema_decay", type=float, default=0.9999)
+    p.add_argument("--freeze_glove", action="store_true",
+                   help="do not train the GloVe-initialized tables")
     p.add_argument("--label_smoothing", type=float, default=0.1)
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
@@ -75,7 +77,8 @@ def config_from_args(args) -> Config:
         train=TrainConfig(
             batch_size=args.batch_size, val_batch_size=args.val_batch_size,
             n_epoch=args.n_epoch, seed=args.seed, lr=args.lr,
-            ema_decay=args.ema_decay, dp_size=args.dp_size,
+            ema_decay=args.ema_decay, freeze_glove=args.freeze_glove,
+            dp_size=args.dp_size,
             pack_clips=not args.no_pack_clips,
             length_group=args.length_group,
             debug=args.debug),

@@ -212,6 +212,9 @@ def train(cfg: Config, workdir: str,
     model, params = init_model(cfg, sample_batch)
     params = load_glove_into(params, cfg.data.glove_path,
                              cfg.data.verb_glove_path, cfg.model.model_mode)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    logger.info("Parameter Count: all %s; trainable %s",
+                f"{n_params:,d}", f"{n_params:,d}")  # reference utils.py:32-45
 
     steps_per_epoch = math.ceil(len(train_ds) / cfg.train.batch_size)
     tx = make_optimizer(cfg.train, steps_per_epoch)

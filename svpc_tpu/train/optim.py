@@ -136,9 +136,26 @@ def bert_adam(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+GLOVE_TABLE_PATHS = (
+    ("text_embeddings", "word_embeddings", "embedding"),
+    ("ingredient_embeddings", "word_embeddings", "embedding"),
+    ("reasoner", "action_embeddings"),
+    ("recipe_reasoner", "action_embeddings"),
+)
+
+
+def _is_glove_path(path) -> bool:
+    keys = tuple(p.key for p in path if hasattr(p, "key"))
+    return any(keys[-len(t):] == t for t in GLOVE_TABLE_PATHS)
+
+
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int
                    ) -> optax.GradientTransformation:
-    """Global clip (train.py:141-142) then BertAdam."""
+    """Global clip (train.py:141-142) then BertAdam.
+
+    ``freeze_glove`` zeroes updates to the GloVe-initialized tables
+    (word / ingredient / verb embeddings) — the reference's
+    from_pretrained(freeze=True) (train.py:694-714)."""
     t_total = steps_per_epoch * cfg.n_epoch
     chain = []
     if cfg.grad_clip > 0:
@@ -147,6 +164,14 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int
         lr=cfg.lr, schedule=cfg.lr_schedule, warmup=cfg.lr_warmup_proportion,
         t_total=t_total, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
         weight_decay=cfg.weight_decay))
+    if cfg.freeze_glove:
+        def zero_frozen(updates, state, params=None):
+            del params
+            return jax.tree_util.tree_map_with_path(
+                lambda path, u: jnp.zeros_like(u) if _is_glove_path(path)
+                else u, updates), state
+        chain.append(optax.GradientTransformation(
+            lambda params: optax.EmptyState(), zero_frozen))
     return optax.chain(*chain)
 
 

@@ -27,7 +27,12 @@ def reference_available() -> bool:
 
 def setup_features(n_videos: int = 4, seed: int = 0, split: str = "val"):
     """Deterministic synthetic features + duration csv for the first
-    n_videos of the split."""
+    n_videos of the split.
+
+    The fixture dir is shared across tests: datasets built from it include
+    EVERY video whose features exist (fix_missing semantics), so a test
+    requesting more videos than test_parity.N_VIDEOS would leak extras
+    into the parity datasets.  Keep n_videos <= 3 in new tests."""
     from tools.reference_harness import make_synthetic_features
     ann_path = os.path.join(
         REFERENCE_ROOT, "densevid_eval/yc2_data",

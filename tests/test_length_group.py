@@ -11,7 +11,10 @@ pytestmark = pytest.mark.skipif(
 
 
 def test_length_group_covers_epoch_and_reduces_work():
-    names, feat_dir, dur_file = rb.setup_features(4)
+    # NOTE: keep n_videos <= test_parity.N_VIDEOS — setup_features shares
+    # one on-disk fixture dir, and datasets include every video whose
+    # features exist (fix_missing semantics)
+    names, feat_dir, dur_file = rb.setup_features(3)
     cfg, ds = rb.build_ours("video", feat_dir, dur_file)
 
     def epoch_names(**kw):

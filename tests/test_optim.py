@@ -94,3 +94,44 @@ def test_decay_mask_excludes_bias_and_scale():
     assert mask["ln"]["scale"] is False
     assert mask["ln"]["bias"] is False
     assert mask["embedding"] is True
+
+
+def test_freeze_glove_zeroes_table_updates():
+    """freeze_glove must zero updates on the GloVe-initialized tables only
+    (reference from_pretrained(freeze=True), train.py:694-714)."""
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.config import tiny_test_config
+    from svpc_tpu.data.synthetic import synthetic_batch
+    from svpc_tpu.model import SVPCModel
+    from svpc_tpu.train.optim import make_optimizer
+
+    # lr_warmup 0: warmup_linear's step-0 multiplier is 0.0, which would
+    # make every update zero and the test vacuous
+    cfg = tiny_test_config("full").replace_train(freeze_glove=True,
+                                                 lr_warmup_proportion=0.0)
+    model = SVPCModel(cfg.model)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(cfg, 2, seed=6).items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    params = model.init(rngs, batch, deterministic=True)
+
+    def loss(p):
+        return model.apply(p, batch, deterministic=True,
+                           rngs={"gumbel": jax.random.PRNGKey(3)}).total_loss
+
+    grads = jax.grad(lambda p: loss({"params": p}))(params["params"])
+    tx = make_optimizer(cfg.train, steps_per_epoch=10)
+    state = tx.init(params["params"])
+    updates, _ = tx.update(grads, state, params["params"])
+
+    frozen = (updates["text_embeddings"]["word_embeddings"]["embedding"],
+              updates["ingredient_embeddings"]["word_embeddings"]["embedding"],
+              updates["reasoner"]["action_embeddings"],
+              updates["recipe_reasoner"]["action_embeddings"])
+    for u in frozen:
+        assert float(jnp.abs(u).max()) == 0.0
+    live = updates["encoder"]["layer_0"]["attention"]["self"]["query"]["kernel"]
+    assert float(jnp.abs(live).max()) > 0.0

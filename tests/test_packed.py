@@ -182,3 +182,37 @@ def test_pack_batch_roundtrip():
     want = dense["input_ids"][:, :, Lv:] * \
         dense["step_mask"][..., None].astype(np.int32)
     np.testing.assert_array_equal(text, want)
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_packed_equivalence_randomized(seed):
+    """Sweep random batch compositions (sizes, step counts, entity/OOV
+    structure) through dense-vs-packed loss equality in one jit each."""
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.config import tiny_test_config
+    from svpc_tpu.data.packing import pack_batch
+    from svpc_tpu.data.synthetic import synthetic_batch
+    from svpc_tpu.model import SVPCModel
+
+    rng = np.random.RandomState(seed)
+    mode = ["video", "copy", "reason_copy"][seed % 3]
+    cfg = tiny_test_config(mode)
+    model = SVPCModel(cfg.model)
+    bs = int(rng.randint(1, 5))
+    dense_np = synthetic_batch(cfg, bs, seed=seed * 7)
+    dense = {k: jnp.asarray(v) for k, v in dense_np.items()}
+    rngs = {"params": jax.random.PRNGKey(seed),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    params = model.init(rngs, dense, deterministic=True)
+    packed = {k: jnp.asarray(v)
+              for k, v in pack_batch(dense_np, cfg.model.max_t_len,
+                                     clip_multiple=int(rng.choice([2, 4, 8]))
+                                     ).items()}
+    g = {"gumbel": jax.random.PRNGKey(9)}
+    out_d = model.apply(params, dense, deterministic=True, rngs=g)
+    out_p = model.apply(params, packed, deterministic=True, rngs=g)
+    np.testing.assert_allclose(np.asarray(out_d.total_loss),
+                               np.asarray(out_p.total_loss),
+                               rtol=2e-5, atol=1e-5)
