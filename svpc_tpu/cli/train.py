@@ -33,7 +33,15 @@ def main():
     p.add_argument("--resume_from", default=None,
                    help="checkpoint dir to resume training from "
                         "(params+optimizer+EMA+epoch)")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host slice: jax.distributed.initialize() "
+                        "from the TPU environment; each host feeds its "
+                        "process-local batch shard "
+                        "(parallel/mesh.py::shard_batch_multihost)")
     args = p.parse_args()
+    if args.multihost:
+        import jax
+        jax.distributed.initialize()
     cfg = config_from_args(args)
     if args.debug:
         args.max_steps_per_epoch = 1
