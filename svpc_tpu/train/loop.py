@@ -252,6 +252,7 @@ def train(cfg: Config, workdir: str,
         v_len=cfg.model.max_v_len) if len(val_ds) else None
 
     best_cider = 0.0
+    best_score = 0.0 if eval_language else None  # reference: CIDEr > 0 wins
     es_cnt = 0
     history = []
     tb = TBWriter(workdir, tensorboard)
@@ -349,7 +350,14 @@ def train(cfg: Config, workdir: str,
                                 lang={k: v for k, v in lang.items()
                                       if isinstance(v, (int, float))}))
 
-            cider = lang.get("CIDEr", -1.0)
+            # selection metric: CIDEr (the reference's, train.py:428-442);
+            # without language eval, fall back to val loss so
+            # --no_language_eval runs still keep a best checkpoint and
+            # never early-stop on a metric that was never computed
+            if eval_language:
+                score = lang.get("CIDEr", -1.0)
+            else:
+                score = -val_m["loss_per_word"]
             # always keep a resumable latest checkpoint (the reference
             # cannot resume mid-training at all — SURVEY §5)
             state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
@@ -358,16 +366,17 @@ def train(cfg: Config, workdir: str,
             if cfg.train.save_mode == "all":
                 save_checkpoint(workdir, jax.device_get(state), cfg,
                                 name=f"checkpoint_e{epoch}")
-            elif cider > best_cider:
-                best_cider = cider
+            elif best_score is None or score > best_score:
+                best_score = score
+                best_cider = lang.get("CIDEr", 0.0)
                 es_cnt = 0
                 save_checkpoint(workdir, jax.device_get(state), cfg,
                                 name="checkpoint_best")
             else:
                 es_cnt += 1
                 if es_cnt > cfg.train.max_es_cnt:
-                    logger.info("early stop at epoch %d (best CIDEr %.4f)",
-                                epoch, best_cider)
+                    logger.info("early stop at epoch %d (best %.4f)",
+                                epoch, best_score)
                     break
 
     tb.close()
