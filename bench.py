@@ -63,13 +63,8 @@ def main():
     batch_np = synthetic_batch(cfg, batch_size=batch_size, seed=0,
                                full_steps=True)
     if baseline and baseline.get("step_counts"):
-        # same per-video clip distribution as the measured baseline batch,
-        # tiled to our batch size — clips/sec counts identical real work
-        src = baseline["step_counts"]
-        counts = (src * (batch_size // len(src) + 1))[:batch_size]
-        for b, c in enumerate(counts):
-            batch_np["step_mask"][b] = 0.0
-            batch_np["step_mask"][b, :c] = 1.0
+        from svpc_tpu.data.synthetic import apply_step_counts
+        apply_step_counts(batch_np, baseline["step_counts"])
     total_clips = float(batch_np["step_mask"].sum())
 
     if packed:

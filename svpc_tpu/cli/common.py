@@ -32,6 +32,9 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--val_batch_size", type=int, default=50)
     p.add_argument("--n_epoch", type=int, default=50)
+    p.add_argument("--max_es_cnt", type=int, default=10,
+                   help="early-stop patience (reference train.py:541)")
+    p.add_argument("--save_mode", choices=["all", "best"], default="best")
     p.add_argument("--seed", type=int, default=2019)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--ema_decay", type=float, default=0.9999)
@@ -76,7 +79,8 @@ def config_from_args(args) -> Config:
             verb_glove_path=args.verb_glove_path),
         train=TrainConfig(
             batch_size=args.batch_size, val_batch_size=args.val_batch_size,
-            n_epoch=args.n_epoch, seed=args.seed, lr=args.lr,
+            n_epoch=args.n_epoch, max_es_cnt=args.max_es_cnt,
+            save_mode=args.save_mode, seed=args.seed, lr=args.lr,
             ema_decay=args.ema_decay, freeze_glove=args.freeze_glove,
             dp_size=args.dp_size,
             pack_clips=not args.no_pack_clips,

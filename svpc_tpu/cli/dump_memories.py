@@ -22,9 +22,6 @@ from svpc_tpu.cli.common import add_common_args, config_from_args
 from svpc_tpu.config import MODE_TO_MODEL_TYPE
 from svpc_tpu.data.pipeline import CaptionDataset
 from svpc_tpu.precision import precision_scope
-from svpc_tpu.train.loop import init_model
-from svpc_tpu.train.optim import make_optimizer
-from svpc_tpu.train.state import TrainState, load_checkpoint
 
 logger = logging.getLogger(__name__)
 
@@ -84,12 +81,8 @@ def main():
 
     ds = CaptionDataset(cfg, args.split)
     sample, _ = next(iter(ds.batches(cfg.train.val_batch_size)))
-    model, params = init_model(cfg, sample, abstract=True)
-    import functools
-    tx = make_optimizer(cfg.train, 1)
-    state = jax.eval_shape(functools.partial(
-        TrainState.create, tx=tx, use_ema=cfg.train.ema_decay > 0), params)
-    state = load_checkpoint(args.checkpoint, state)
+    from svpc_tpu.train.loop import restore_train_state
+    model, state = restore_train_state(cfg, sample, args.checkpoint)
 
     dump = dump_memories(model, state.eval_params(), ds, cfg)
     model_type = MODE_TO_MODEL_TYPE[cfg.model.model_mode]

@@ -12,17 +12,13 @@ import json
 import logging
 import os
 
-import jax
-
 from svpc_tpu.cli.common import add_common_args, config_from_args
 from svpc_tpu.data.anet import PARA_REFERENCE_FILES
 from svpc_tpu.data.pipeline import CaptionDataset
 from svpc_tpu.evaluation.ingredient_f1 import (
     build_ingredient_dictionary, ingredient_f1)
 from svpc_tpu.evaluation.para_eval import evaluate_submission
-from svpc_tpu.train.loop import init_model, run_greedy_eval
-from svpc_tpu.train.state import TrainState, load_checkpoint
-from svpc_tpu.train.optim import make_optimizer
+from svpc_tpu.train.loop import restore_train_state, run_greedy_eval
 
 logger = logging.getLogger(__name__)
 
@@ -62,13 +58,7 @@ def main():
         if len(ds) and len(ds) < cfg.train.val_batch_size:
             cfg = cfg.replace_train(val_batch_size=len(ds))
         sample, _ = next(iter(ds.batches(cfg.train.val_batch_size)))
-        # abstract init: no forward compile just to build a restore template
-        model, params = init_model(cfg, sample, abstract=True)
-        import functools
-        tx = make_optimizer(cfg.train, 1)
-        state = jax.eval_shape(functools.partial(
-            TrainState.create, tx=tx, use_ema=cfg.train.ema_decay > 0), params)
-        state = load_checkpoint(args.checkpoint, state)
+        model, state = restore_train_state(cfg, sample, args.checkpoint)
         eval_params = state.eval_params()
 
     submission = run_greedy_eval(

@@ -13,7 +13,6 @@ dump_memories.py / translator tooling.
 from __future__ import annotations
 
 import argparse
-import functools
 import logging
 import os
 
@@ -22,9 +21,6 @@ import jax
 from svpc_tpu.cli.common import add_common_args, config_from_args
 from svpc_tpu.data.synthetic import synthetic_batch
 from svpc_tpu.model.import_torch import export_reference_checkpoint
-from svpc_tpu.train.loop import init_model
-from svpc_tpu.train.optim import make_optimizer
-from svpc_tpu.train.state import TrainState, load_checkpoint
 
 logger = logging.getLogger(__name__)
 
@@ -48,11 +44,8 @@ def main():
         raise SystemExit(f"checkpoint not found: {args.checkpoint}")
 
     sample = synthetic_batch(cfg, batch_size=1, seed=0)
-    model, params = init_model(cfg, sample, abstract=True)
-    tx = make_optimizer(cfg.train, 1)
-    state = jax.eval_shape(functools.partial(
-        TrainState.create, tx=tx, use_ema=cfg.train.ema_decay > 0), params)
-    state = load_checkpoint(args.checkpoint, state)
+    from svpc_tpu.train.loop import restore_train_state
+    _, state = restore_train_state(cfg, sample, args.checkpoint)
 
     flax_params = jax.device_get(state.eval_params() if args.ema
                                  else state.params)

@@ -102,3 +102,16 @@ def synthetic_batch(cfg: Config, batch_size: int = 2, seed: int = 0,
             batch["action"][b].sum(-1) > 0).astype(np.float32) \
             * batch["step_mask"][b]
     return batch
+
+
+def apply_step_counts(batch: dict, step_counts) -> float:
+    """Restrict a synthetic batch to the given per-video real step counts
+    (tiled to the batch size) — reproduces a measured workload's clip
+    distribution so clips/sec counts identical real work.  Returns the
+    total real clip count."""
+    B = batch["step_mask"].shape[0]
+    counts = (list(step_counts) * (B // len(step_counts) + 1))[:B]
+    for b, c in enumerate(counts):
+        batch["step_mask"][b] = 0.0
+        batch["step_mask"][b, :c] = 1.0
+    return float(batch["step_mask"].sum())

@@ -36,9 +36,9 @@ def greedy_decode(model, params, batch, rngs=None,
     packed = "clip_video" in batch
     if packed:
         # pseudo-batch of packed clips: batch axis N, one step
+        from svpc_tpu.model.svpc import clip_view
         B, S = batch["clip_input_ids"].shape[0], 1
-        head_batch = model.apply(params, batch,
-                                 method=type(model).clip_view)
+        head_batch = clip_view(batch)
     else:
         B, S, _ = batch["input_ids"].shape
         head_batch = batch

@@ -39,6 +39,20 @@ from svpc_tpu.ops.losses import asymmetric_loss_sum, bce_sum, label_smoothing_kl
 NEG_INF = -1e30
 
 
+def clip_view(batch) -> Dict[str, jnp.ndarray]:
+    """Per-clip view of the per-video arrays the LM head + pointer
+    machinery read — lets score_text / score_position_cached run on a
+    packed (N, 1, ...) pseudo-batch unchanged.  Parameter-free: usable
+    inside and outside module scope."""
+    cv = batch["clip_video"]
+    return dict(
+        entity_mask=batch["entity_mask"][cv],
+        copy_ids=batch["copy_ids"][cv],
+        copy_weights=batch["copy_weights"][cv],
+        oov_count=batch["oov_count"][cv],
+    )
+
+
 class ModelOutputs(NamedTuple):
     total_loss: jnp.ndarray
     caption_loss: jnp.ndarray
@@ -159,18 +173,6 @@ class SVPCModel(nn.Module):
         return self.step_wise_encoder(
             step_in, batch["step_mask"], diagonal_mask=False,
             deterministic=deterministic)
-
-    def clip_view(self, batch) -> Dict[str, jnp.ndarray]:
-        """Per-clip view of the per-video arrays the LM head + pointer
-        machinery read — lets score_text / score_position_cached run on a
-        packed (N, 1, ...) pseudo-batch unchanged."""
-        cv = batch["clip_video"]
-        return dict(
-            entity_mask=batch["entity_mask"][cv],
-            copy_ids=batch["copy_ids"][cv],
-            copy_weights=batch["copy_weights"][cv],
-            oov_count=batch["oov_count"][cv],
-        )
 
     def encode(self, batch, deterministic=True) -> EncodedState:
         """Full encode: clips, ingredients, reasoner, cross-attn memory.
@@ -396,7 +398,7 @@ class SVPCModel(nn.Module):
             text_ids = batch["clip_input_ids"][:, None, Lv:]
             text_mask = batch["clip_input_mask"][:, None, Lv:]
             labels = batch["clip_input_labels"][:, None, Lv:]
-            head_batch = self.clip_view(batch)
+            head_batch = clip_view(batch)
         else:
             B, S, L = batch["input_ids"].shape
             Lv = L - T

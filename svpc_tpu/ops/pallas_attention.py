@@ -35,11 +35,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
-                  m_scr, l_scr, acc_scr, *, scale: float, mask_1d: bool):
+                  m_scr, l_scr, acc_scr, *, scale: float):
     """One grid cell: (sequence block b, query block iq, key block ik).
 
     q_ref (bn, nh, bq, dh); k_ref/v_ref (bn, nh, bk, dh);
-    mask_ref (bn, 1, bk) float 1/0 when mask_1d else (bn, bq, bk);
+    mask_ref (bn, 1, bk) float 1/0 for key-padding masks or (bn, bq, bk)
+    for full masks (the add broadcasts either way);
     scratch: m/l (bn*nh, bq) f32, acc (bn*nh, bq, dh) f32 — carried across
     the innermost (key) grid dimension.
     """
@@ -142,7 +143,7 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     grid = (n // bn, lq_p // bq, lk_p // bk)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, mask_1d=mask_1d),
+        functools.partial(_flash_kernel, scale=scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bn, num_heads, bq, dh),

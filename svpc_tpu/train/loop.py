@@ -120,6 +120,31 @@ def packing_transform(cfg: Config, mesh=None, n_clips: Optional[int] = None,
     return transform
 
 
+def eval_packing_transform(cfg: Config, mesh, dataset, batch_size: int):
+    """Eval-time packing: pin ONE packed shape across all of the dataset's
+    (deterministic) batches so the compiled program is reused exactly."""
+    from svpc_tpu.data.packing import fixed_clip_budget
+    return packing_transform(
+        cfg, mesh,
+        n_clips=fixed_clip_budget(
+            dataset, batch_size, cfg.train.pack_clip_multiple,
+            dp_shards=mesh.shape.get("dp", 1) if mesh else 1),
+        v_len=cfg.model.max_v_len)
+
+
+def restore_train_state(cfg: Config, sample_batch, checkpoint_path: str):
+    """(model, TrainState) from an orbax checkpoint, without compiling any
+    forward pass — abstract shape templates drive the restore.  Shared by
+    the evaluate / dump_memories / export_checkpoint CLIs."""
+    import functools
+    from svpc_tpu.train.state import load_checkpoint
+    model, params = init_model(cfg, sample_batch, abstract=True)
+    tx = make_optimizer(cfg.train, 1)
+    state = jax.eval_shape(functools.partial(
+        TrainState.create, tx=tx, use_ema=cfg.train.ema_decay > 0), params)
+    return model, load_checkpoint(checkpoint_path, state)
+
+
 def run_greedy_eval(model, params, dataset: CaptionDataset, cfg: Config,
                     mesh=None, max_batches: Optional[int] = None,
                     beam_size: int = 0) -> dict:
@@ -137,14 +162,7 @@ def run_greedy_eval(model, params, dataset: CaptionDataset, cfg: Config,
     else:
         jit_decode = jax.jit(
             lambda p, b: greedy_decode(model, p, b))
-        # fixed packed shape across all eval batches -> one decode compile
-        from svpc_tpu.data.packing import fixed_clip_budget
-        transform = packing_transform(
-            cfg, mesh,
-            n_clips=fixed_clip_budget(
-                dataset, eff_bs, cfg.train.pack_clip_multiple,
-                dp_shards=mesh.shape.get("dp", 1) if mesh else 1),
-            v_len=cfg.model.max_v_len)
+        transform = eval_packing_transform(cfg, mesh, dataset, eff_bs)
     results = None
     n = 0
     with precision_scope(cfg.model):
@@ -243,13 +261,8 @@ def train(cfg: Config, workdir: str,
     ref_para_path = os.path.join(
         cfg.data.data_dir, "yc2_split_val_anet_format_para.json")
 
-    from svpc_tpu.data.packing import fixed_clip_budget
-    val_transform = packing_transform(
-        cfg, mesh,
-        n_clips=fixed_clip_budget(
-            val_ds, cfg.train.val_batch_size, cfg.train.pack_clip_multiple,
-            dp_shards=mesh.shape.get("dp", 1) if mesh else 1),
-        v_len=cfg.model.max_v_len) if len(val_ds) else None
+    val_transform = eval_packing_transform(
+        cfg, mesh, val_ds, cfg.train.val_batch_size) if len(val_ds) else None
 
     best_cider = 0.0
     best_score = 0.0 if eval_language else None  # reference: CIDEr > 0 wins

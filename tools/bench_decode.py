@@ -48,11 +48,8 @@ def main():
                         "reference_baseline.json")
     baseline = json.load(open(base)) if os.path.exists(base) else None
     if baseline and baseline.get("step_counts"):
-        src = baseline["step_counts"]
-        counts = (src * (args.batch_size // len(src) + 1))[:args.batch_size]
-        for b, c in enumerate(counts):
-            batch_np["step_mask"][b] = 0.0
-            batch_np["step_mask"][b, :c] = 1.0
+        from svpc_tpu.data.synthetic import apply_step_counts
+        apply_step_counts(batch_np, baseline["step_counts"])
     total_clips = float(batch_np["step_mask"].sum())
 
     if args.packed:
