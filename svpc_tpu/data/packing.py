@@ -126,6 +126,95 @@ def pack_batch(batch: Batch, max_t_len: int,
     return out
 
 
+def pack_examples(examples, max_t_len: int, batch_size: Optional[int] = None,
+                  n_clips: Optional[int] = None,
+                  v_len: Optional[int] = None,
+                  clip_multiple: int = 16,
+                  v_multiple: int = 16,
+                  dp_shards: int = 1) -> Batch:
+    """Examples -> packed batch directly, skipping the dense (B, S, ...)
+    intermediate.
+
+    pack_batch() gathers from an already-stacked dense batch — two full
+    copies of the (B, S, Lv, D) feature tensor before the one that matters.
+    On a 1-core host that stack+gather costs ~1.1 s per B=16 batch against
+    a ~10 ms device step, so the host pipeline builds the packed layout in
+    one pass: per-video arrays stack (small), per-clip rows copy straight
+    from each example into the final buffers.  Geometry and semantics are
+    identical to pack_batch (tests/test_packed.py checks equality).
+    """
+    B = batch_size or len(examples)
+    if B % dp_shards:
+        raise ValueError(f"batch {B} not divisible by dp_shards={dp_shards}")
+    Bs = B // dp_shards
+    first = examples[0].arrays
+    S = first["step_mask"].shape[0]
+    L = first["input_ids"].shape[-1]
+    Lv = L - max_t_len
+
+    steps = [int(e.arrays["step_mask"].sum()) for e in examples]
+    n_max = max(sum(steps[g * Bs:(g + 1) * Bs]) or 0
+                for g in range(dp_shards)) if examples else 0
+    N = n_clips or _round_up(n_max, clip_multiple)
+    if n_max > N:
+        raise ValueError(f"shard has {n_max} real clips > n_clips={N}")
+
+    if v_len is None:
+        valid = 2
+        for e, n in zip(examples, steps):
+            if n:
+                valid = max(valid, int(
+                    e.arrays["input_mask"][:n, :Lv].sum(axis=-1).max()))
+        v_len = _round_up(int(valid), v_multiple, cap=Lv)
+    if not (0 < v_len <= Lv):
+        raise ValueError(f"v_len={v_len} outside (0, {Lv}]")
+
+    # per-video arrays: stacked with zero/IGNORE padding to B
+    from svpc_tpu.data.pipeline import ARRAY_KEYS
+    out: Batch = {}
+    for k in ARRAY_KEYS:
+        if k in _CLIP_KEYS:
+            continue
+        proto = first[k]
+        dst = np.zeros((B,) + proto.shape, proto.dtype)
+        for b, e in enumerate(examples):
+            dst[b] = e.arrays[k]
+        out[k] = dst
+
+    total = N * dp_shards
+    out["clip_video"] = np.zeros((total,), np.int32)
+    out["clip_step"] = np.zeros((total,), np.int32)
+    out["clip_mask"] = np.zeros((total,), np.float32)
+    clip_arrays = {}
+    for k in ("input_ids", "input_mask", "token_type_ids", "input_labels"):
+        fill = tok.IGNORE if k == "input_labels" else 0
+        clip_arrays[k] = np.full((total, v_len + max_t_len), fill,
+                                 first[k].dtype)
+    clip_arrays["video_feature"] = np.zeros(
+        (total, v_len) + first["video_feature"].shape[2:],
+        first["video_feature"].dtype)
+
+    for b, (e, n) in enumerate(zip(examples, steps)):
+        if not n:
+            continue
+        g = b // Bs
+        lo = g * N + sum(steps[g * Bs:b])
+        out["clip_video"][lo:lo + n] = b
+        out["clip_step"][lo:lo + n] = np.arange(n)
+        out["clip_mask"][lo:lo + n] = 1.0
+        arrs = e.arrays
+        for k in ("input_ids", "input_mask", "token_type_ids",
+                  "input_labels"):
+            clip_arrays[k][lo:lo + n, :v_len] = arrs[k][:n, :v_len]
+            clip_arrays[k][lo:lo + n, v_len:] = arrs[k][:n, Lv:]
+        clip_arrays["video_feature"][lo:lo + n] = \
+            arrs["video_feature"][:n, :v_len]
+
+    for k, v in clip_arrays.items():
+        out[f"clip_{k}"] = v
+    return out
+
+
 def is_packed(batch) -> bool:
     return "clip_video" in batch
 

@@ -334,8 +334,13 @@ class CaptionDataset:
 
     def batches(self, batch_size: int, shuffle: bool = False,
                 seed: int = 0, drop_remainder: bool = False,
-                pad_to_batch: bool = True, length_group: int = 0):
+                pad_to_batch: bool = True, length_group: int = 0,
+                builder=None):
         """Yield (Batch, metas) pairs.
+
+        ``builder(examples, padded_batch_size) -> Batch`` overrides the
+        dense stack (e.g. data/packing.pack_examples builds the packed
+        layout directly, skipping two full feature copies).
 
         ``length_group=K`` (with shuffle) sorts each window of
         K*batch_size shuffled videos by work_key before cutting batches,
@@ -363,9 +368,13 @@ class CaptionDataset:
             if drop_remainder and len(idx) < batch_size:
                 continue
             examples = [self[int(j)] for j in idx]
-            batch = batch_examples(examples)
-            if pad_to_batch and len(idx) < batch_size:
-                batch = pad_batch_to(batch, batch_size)
+            eff = batch_size if pad_to_batch else len(idx)
+            if builder is not None:
+                batch = builder(examples, eff)
+            else:
+                batch = batch_examples(examples)
+                if eff > len(idx):
+                    batch = pad_batch_to(batch, eff)
             yield batch, [e.meta for e in examples]
 
 

@@ -84,52 +84,59 @@ def init_model(cfg: Config, sample_batch, rng_seed: int = None,
     return model, params
 
 
-def packing_transform(cfg: Config, mesh=None, n_clips: Optional[int] = None,
-                      v_len: Optional[int] = None):
-    """Host-side batch transform: clip packing (when enabled and not
-    data-parallel — the packed clip axis doesn't shard along the per-video
-    axis) composed with bf16 feature casting for the fast path.
+def packing_builder(cfg: Config, mesh=None, n_clips: Optional[int] = None,
+                    v_len: Optional[int] = None):
+    """Batch builder for CaptionDataset.batches: the packed layout built
+    directly from examples (data/packing.pack_examples — skips two full
+    feature copies the dense-stack-then-gather path pays).
 
     ``n_clips``/``v_len`` pin the packed shape (one compile — right for
     eval); left None they bucket per batch (a handful of compiles — right
-    for shuffled training)."""
-    pack = cfg.train.pack_clips
-    cast = cfg.model.compute_dtype == "bfloat16"
-    if not (pack or cast):
+    for shuffled training).  Under data parallelism each dp shard packs
+    separately (clips co-located with their videos' arrays).  Returns None
+    when packing is disabled."""
+    if not cfg.train.pack_clips:
         return None
-    from svpc_tpu.data.packing import pack_batch
-    # under data parallelism each dp shard is packed separately (same
-    # per-shard clip count, clips co-located with their videos' arrays)
+    from svpc_tpu.data.packing import pack_examples
     dp = mesh.shape.get("dp", 1) if mesh is not None else 1
 
-    def transform(b):
-        if pack:
-            b = pack_batch(b, cfg.model.max_t_len,
-                           n_clips=n_clips, v_len=v_len,
-                           clip_multiple=cfg.train.pack_clip_multiple,
-                           v_multiple=cfg.train.pack_v_multiple,
-                           dp_shards=dp)
-        if cast:
-            import ml_dtypes  # numpy bf16 support (jax dependency)
-            key = ("clip_video_feature" if "clip_video_feature" in b
-                   else "video_feature")
-            b = dict(b)
-            b[key] = b[key].astype(ml_dtypes.bfloat16)
-        return b
+    def build(examples, batch_size):
+        return pack_examples(
+            examples, cfg.model.max_t_len, batch_size=batch_size,
+            n_clips=n_clips, v_len=v_len,
+            clip_multiple=cfg.train.pack_clip_multiple,
+            v_multiple=cfg.train.pack_v_multiple, dp_shards=dp)
 
-    return transform
+    return build
 
 
-def eval_packing_transform(cfg: Config, mesh, dataset, batch_size: int):
+def eval_packing_builder(cfg: Config, mesh, dataset, batch_size: int):
     """Eval-time packing: pin ONE packed shape across all of the dataset's
     (deterministic) batches so the compiled program is reused exactly."""
     from svpc_tpu.data.packing import fixed_clip_budget
-    return packing_transform(
+    return packing_builder(
         cfg, mesh,
         n_clips=fixed_clip_budget(
             dataset, batch_size, cfg.train.pack_clip_multiple,
             dp_shards=mesh.shape.get("dp", 1) if mesh else 1),
         v_len=cfg.model.max_v_len)
+
+
+def cast_transform(cfg: Config):
+    """bf16 feature cast (halves host->device feature traffic); None on
+    the f32 parity path."""
+    if cfg.model.compute_dtype != "bfloat16":
+        return None
+    import ml_dtypes  # numpy bf16 support (jax dependency)
+
+    def transform(b):
+        key = ("clip_video_feature" if "clip_video_feature" in b
+               else "video_feature")
+        b = dict(b)
+        b[key] = b[key].astype(ml_dtypes.bfloat16)
+        return b
+
+    return transform
 
 
 def restore_train_state(cfg: Config, sample_batch, checkpoint_path: str):
@@ -158,16 +165,17 @@ def run_greedy_eval(model, params, dataset: CaptionDataset, cfg: Config,
         from svpc_tpu.decode.beam import beam_decode
         jit_decode = jax.jit(
             lambda p, b: beam_decode(model, p, b, beam_size=beam_size))
-        transform = None  # beam runs on the dense layout
+        builder = None  # beam runs on the dense layout
     else:
         jit_decode = jax.jit(
             lambda p, b: greedy_decode(model, p, b))
-        transform = eval_packing_transform(cfg, mesh, dataset, eff_bs)
+        builder = eval_packing_builder(cfg, mesh, dataset, eff_bs)
+    transform = cast_transform(cfg)
     results = None
     n = 0
     with precision_scope(cfg.model):
         for batch, metas in dataset.batches(cfg.train.val_batch_size,
-                                            shuffle=False):
+                                            shuffle=False, builder=builder):
             if transform is not None:
                 batch = transform(batch)
             if mesh is not None:
@@ -261,8 +269,9 @@ def train(cfg: Config, workdir: str,
     ref_para_path = os.path.join(
         cfg.data.data_dir, "yc2_split_val_anet_format_para.json")
 
-    val_transform = eval_packing_transform(
+    val_builder = eval_packing_builder(
         cfg, mesh, val_ds, cfg.train.val_batch_size) if len(val_ds) else None
+    feat_cast = cast_transform(cfg)
 
     best_cider = 0.0
     best_score = 0.0 if eval_language else None  # reference: CIDEr > 0 wins
@@ -277,14 +286,14 @@ def train(cfg: Config, workdir: str,
             from svpc_tpu.data.prefetch import prefetch_to_device
             from svpc_tpu.parallel.mesh import batch_sharding
 
-            transform = packing_transform(cfg, mesh)
             batch_iter = prefetch_to_device(
                 train_ds.batches(cfg.train.batch_size, shuffle=True,
                                  seed=cfg.train.seed + epoch,
-                                 length_group=cfg.train.length_group),
+                                 length_group=cfg.train.length_group,
+                                 builder=packing_builder(cfg, mesh)),
                 size=2,
                 sharding=batch_sharding(mesh) if mesh is not None else None,
-                transform=transform)
+                transform=feat_cast)
             for i, (batch, _) in enumerate(batch_iter):
                 if profile_steps and not profiled and epoch == 0 and i == 1:
                     # skip step 0 (compile); trace a few steady-state steps
@@ -316,9 +325,9 @@ def train(cfg: Config, workdir: str,
             eval_params = state.eval_params()
             vmetrics = []
             for j, (batch, _) in enumerate(val_ds.batches(
-                    cfg.train.val_batch_size)):
-                if val_transform is not None:
-                    batch = val_transform(batch)
+                    cfg.train.val_batch_size, builder=val_builder)):
+                if feat_cast is not None:
+                    batch = feat_cast(batch)
                 if mesh is not None:
                     batch = shard_batch(mesh, batch)
                 vmetrics.append(eval_step(eval_params, batch,

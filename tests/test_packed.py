@@ -216,3 +216,28 @@ def test_packed_equivalence_randomized(seed):
     np.testing.assert_allclose(np.asarray(out_d.total_loss),
                                np.asarray(out_p.total_loss),
                                rtol=2e-5, atol=1e-5)
+
+
+def test_pack_examples_equals_pack_batch():
+    """The direct example->packed builder must produce bit-identical
+    batches to stack + pad + pack_batch (incl. dp sharding + partial
+    batches padded up)."""
+    from svpc_tpu.config import tiny_test_config
+    from svpc_tpu.data.packing import pack_batch, pack_examples
+    from svpc_tpu.data.pipeline import Example, batch_examples, pad_batch_to
+    from svpc_tpu.data.synthetic import synthetic_batch
+
+    cfg = tiny_test_config("full")
+    T = cfg.model.max_t_len
+    bn = synthetic_batch(cfg, 5, seed=13)
+    exs = [Example(arrays={k: v[i] for k, v in bn.items()}, meta={})
+           for i in range(5)]
+    for B, dp in [(5, 1), (8, 4), (6, 2)]:
+        dense = pad_batch_to(batch_examples(exs), B)
+        want = pack_batch(dense, T, clip_multiple=4, dp_shards=dp)
+        got = pack_examples(exs, T, batch_size=B, clip_multiple=4,
+                            dp_shards=dp)
+        assert set(want) == set(got)
+        for k in want:
+            np.testing.assert_array_equal(want[k], got[k],
+                                          err_msg=f"B={B} dp={dp}: {k}")
