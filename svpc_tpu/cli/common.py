@@ -45,6 +45,10 @@ def add_common_args(p: argparse.ArgumentParser):
                    choices=["float32", "bfloat16"])
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--dp_size", type=int, default=1)
+    p.add_argument("--grad_accum_steps", type=int, default=1,
+                   help="host batches per optimizer step; exact under "
+                        "sum-loss semantics (effective batch = "
+                        "batch_size * grad_accum_steps)")
     p.add_argument("--no_pack_clips", action="store_true",
                    help="disable clip packing (compute the full padded "
                         "(B, S) step grid like the reference)")
@@ -83,6 +87,7 @@ def config_from_args(args) -> Config:
             save_mode=args.save_mode, seed=args.seed, lr=args.lr,
             ema_decay=args.ema_decay, freeze_glove=args.freeze_glove,
             dp_size=args.dp_size,
+            grad_accum_steps=args.grad_accum_steps,
             pack_clips=not args.no_pack_clips,
             length_group=args.length_group,
             debug=args.debug),

@@ -144,6 +144,14 @@ class TrainConfig:
     freeze_glove: bool = False
     save_mode: str = "best"         # "best" | "all"
     debug: bool = False
+    # gradient accumulation: each optimizer step consumes this many host
+    # batches of ``batch_size`` (effective batch = grad_accum_steps *
+    # batch_size).  Losses are SUMS over examples, so accumulated
+    # gradients equal the big-batch gradients exactly (not an average
+    # approximation); the global grad-norm clip applies to the
+    # accumulated gradient, i.e. to the effective batch.  The reference
+    # has no equivalent (it steps every batch, train.py:140-143).
+    grad_accum_steps: int = 1
     # parallelism
     dp_size: int = 1                # data-parallel mesh axis
     tp_size: int = 1                # tensor-parallel mesh axis (reserved)

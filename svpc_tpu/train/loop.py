@@ -242,8 +242,11 @@ def train(cfg: Config, workdir: str,
     logger.info("Parameter Count: all %s; trainable %s",
                 f"{n_params:,d}", f"{n_params:,d}")  # reference utils.py:32-45
 
+    accum = max(1, cfg.train.grad_accum_steps)
     steps_per_epoch = math.ceil(len(train_ds) / cfg.train.batch_size)
-    tx = make_optimizer(cfg.train, steps_per_epoch)
+    # the LR schedule counts OPTIMIZER steps, of which accumulation takes
+    # one per `accum` host batches
+    tx = make_optimizer(cfg.train, math.ceil(steps_per_epoch / accum))
     state = TrainState.create(params, tx, use_ema=cfg.train.ema_decay > 0)
     start_epoch = 0
     if resume_from:
@@ -256,6 +259,12 @@ def train(cfg: Config, workdir: str,
         state = replicate(mesh, state)
 
     train_step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
+    if accum > 1:
+        from svpc_tpu.train.step import make_apply_step, make_grad_step, \
+            tree_add
+        grad_step = jax.jit(make_grad_step(model, cfg))
+        apply_step = jax.jit(make_apply_step(tx, cfg), donate_argnums=0)
+        add_grads = jax.jit(tree_add, donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(model, cfg))
     from svpc_tpu.train.optim import training_rng
     rng = training_rng(cfg.train.seed, cfg.train.rng_impl)
@@ -273,6 +282,7 @@ def train(cfg: Config, workdir: str,
         cfg, mesh, val_ds, cfg.train.val_batch_size) if len(val_ds) else None
     feat_cast = cast_transform(cfg)
 
+    opt_step = int(state.step)  # host-side mirror (accum rng folding)
     best_cider = 0.0
     best_score = 0.0 if eval_language else None  # reference: CIDEr > 0 wins
     es_cnt = 0
@@ -294,11 +304,26 @@ def train(cfg: Config, workdir: str,
                 size=2,
                 sharding=batch_sharding(mesh) if mesh is not None else None,
                 transform=feat_cast)
+            acc_grads = None
+            n_micro = 0
             for i, (batch, _) in enumerate(batch_iter):
                 if profile_steps and not profiled and epoch == 0 and i == 1:
                     # skip step 0 (compile); trace a few steady-state steps
                     jax.profiler.start_trace(os.path.join(workdir, "profile"))
-                state, m = train_step(state, batch, rng)
+                if accum == 1:
+                    state, m = train_step(state, batch, rng)
+                else:
+                    micro_rng = jax.random.fold_in(
+                        jax.random.fold_in(rng, opt_step), n_micro)
+                    g, m = grad_step(state.params["params"], batch, micro_rng)
+                    acc_grads = g if acc_grads is None else add_grads(
+                        acc_grads, g)
+                    n_micro += 1
+                    if n_micro == accum:
+                        state, grad_norm = apply_step(state, acc_grads)
+                        m = dict(m, grad_norm=grad_norm)
+                        acc_grads, n_micro = None, 0
+                        opt_step += 1
                 metrics.append(m)
                 if profile_steps and not profiled and epoch == 0 \
                         and i == profile_steps:
@@ -308,6 +333,10 @@ def train(cfg: Config, workdir: str,
                     logger.info("profiler trace written to %s/profile", workdir)
                 if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
                     break
+            if acc_grads is not None:
+                # flush a partial accumulation group at epoch end
+                state, _ = apply_step(state, acc_grads)
+                opt_step += 1
             train_m = aggregate_metrics(jax.device_get(metrics))
             niter = int(state.step)
             tb.scalar("Train/Loss", train_m["loss_per_word"], niter)

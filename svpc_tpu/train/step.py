@@ -96,6 +96,55 @@ def make_train_step(model, tx: optax.GradientTransformation, cfg: Config):
     return train_step
 
 
+def make_grad_step(model, cfg: Config):
+    """Gradient-accumulation microbatch: grads + metric sums, no update.
+
+    Microbatches keep their own (possibly different) packed shapes; the
+    caller tree-sums the grads and applies them with ``make_apply_step``.
+    Under sum-loss semantics the accumulated gradient equals the gradient
+    of one big batch exactly.
+    """
+
+    def grad_step(params, batch, rng):
+        dropout_rng, gumbel_rng = jax.random.split(rng)
+
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p}, batch, deterministic=False,
+                rngs={"dropout": dropout_rng, "gumbel": gumbel_rng})
+            return out.total_loss, out
+
+        grads, out = jax.grad(loss_fn, has_aux=True)(params)
+        return grads, batch_metrics(out, batch, cfg)
+
+    return grad_step
+
+
+def make_apply_step(tx: optax.GradientTransformation, cfg: Config):
+    """Optimizer + EMA update from (accumulated) gradients."""
+    ema_decay = cfg.train.ema_decay
+
+    def apply_step(state: TrainState, grads) -> Tuple[TrainState, jnp.ndarray]:
+        updates, new_opt = tx.update(grads, state.opt_state,
+                                     state.params["params"])
+        new_params = optax.apply_updates(state.params["params"], updates)
+        new_shadow = state.ema_shadow
+        if new_shadow is not None and ema_decay > 0:
+            new_shadow = ema_update(
+                new_shadow, new_params, state.step.astype(jnp.float32),
+                ema_decay)
+        new_state = state.replace(
+            params={"params": new_params}, opt_state=new_opt,
+            ema_shadow=new_shadow, step=state.step + 1)
+        return new_state, optax.global_norm(grads)
+
+    return apply_step
+
+
+def tree_add(a, b):
+    return jax.tree.map(jnp.add, a, b)
+
+
 def make_eval_step(model, cfg: Config):
     def eval_step(params, batch, rng) -> Dict:
         out = model.apply(params, batch, deterministic=True,

@@ -1,0 +1,86 @@
+"""Gradient accumulation: under the reference's sum-loss semantics
+(model.py:1110-1115 sums over examples and steps), the accumulated
+gradient of A microbatches equals the gradient of the one concatenated
+batch exactly, and the resulting optimizer step matches make_train_step
+on that big batch."""
+
+import dataclasses
+
+import numpy as np
+
+
+def _zero_dropout(cfg):
+    model = dataclasses.replace(cfg.model, hidden_dropout_prob=0.0,
+                                attention_probs_dropout_prob=0.0)
+    return dataclasses.replace(cfg, model=model)
+
+
+def _concat(b1, b2):
+    return {k: np.concatenate([b1[k], b2[k]], axis=0) for k in b1}
+
+
+def test_accumulated_step_matches_big_batch():
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.config import tiny_test_config
+    from svpc_tpu.data.synthetic import synthetic_batch
+    from svpc_tpu.model import SVPCModel
+    from svpc_tpu.train.optim import make_optimizer
+    from svpc_tpu.train.state import TrainState
+    from svpc_tpu.train.step import (make_apply_step, make_grad_step,
+                                     make_train_step, tree_add)
+
+    # "copy" mode: no gumbel reconstruction, and dropout is zeroed, so the
+    # rng folding difference between the two paths cannot matter
+    cfg = _zero_dropout(tiny_test_config("copy"))
+    model = SVPCModel(cfg.model)
+
+    b1 = synthetic_batch(cfg, batch_size=2, seed=0)
+    b2 = synthetic_batch(cfg, batch_size=2, seed=1)
+    big = {k: jnp.asarray(v) for k, v in _concat(b1, b2).items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    params = model.init(rngs, big, deterministic=True)
+    tx = make_optimizer(cfg.train, steps_per_epoch=10)
+
+    grad_step = jax.jit(make_grad_step(model, cfg))
+    apply_step = jax.jit(make_apply_step(tx, cfg))
+    train_step = jax.jit(make_train_step(model, tx, cfg))
+    rng = jax.random.PRNGKey(7)
+
+    # microbatch gradients sum to the big-batch gradient
+    g1, m1 = grad_step(params["params"], {k: jnp.asarray(v)
+                                          for k, v in b1.items()}, rng)
+    g2, m2 = grad_step(params["params"], {k: jnp.asarray(v)
+                                          for k, v in b2.items()}, rng)
+    g_acc = jax.jit(tree_add)(g1, g2)
+    g_big = jax.grad(
+        lambda p: model.apply({"params": p}, big, deterministic=True,
+                              rngs={"gumbel": rng}).total_loss
+    )(params["params"])
+    for a, b in zip(jax.tree.leaves(g_acc), jax.tree.leaves(g_big)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+    # one apply on the accumulated grads == one train_step on the big batch
+    state_a = TrainState.create(params, tx, use_ema=True)
+    state_a, grad_norm = apply_step(state_a, g_acc)
+    state_b, m_big = train_step(TrainState.create(params, tx, use_ema=True),
+                                big, rng)
+    # metric sums across microbatches equal the big-batch metrics
+    np.testing.assert_allclose(float(m1["loss"]) + float(m2["loss"]),
+                               float(m_big["loss"]), rtol=1e-5)
+    assert int(m1["n_correct"]) + int(m2["n_correct"]) == int(
+        m_big["n_correct"])
+    assert int(state_a.step) == int(state_b.step) == 1
+    np.testing.assert_allclose(float(grad_norm), float(m_big["grad_norm"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(state_a.ema_shadow),
+                    jax.tree.leaves(state_b.ema_shadow)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
