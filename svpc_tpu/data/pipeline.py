@@ -199,7 +199,8 @@ class CaptionDataset:
 
     def __init__(self, cfg: Config, split: str, num_steps: Optional[int] = None,
                  feature_store: Optional[FeatureStore] = None,
-                 use_native: bool = True):
+                 use_native: bool = True,
+                 entries: Optional[List[dict]] = None):
         self.use_native = use_native
         m, d = cfg.model, cfg.data
         self.cfg = cfg
@@ -222,7 +223,11 @@ class CaptionDataset:
         self.store = feature_store or FeatureStore(feat_dir)
         self.frame_to_second = load_durations(
             d.duration_file, d.dset_name, d.sampling_sec)
-        data = load_annotations(d.data_dir, split, self.num_steps)
+        # ``entries`` bypasses the split files: caption new videos from a
+        # user spec (cli/caption.py) — the reference has no GT-free
+        # inference path (its dataset requires sentences)
+        data = (entries if entries is not None
+                else load_annotations(d.data_dir, split, self.num_steps))
         # anet names carry a "v_" prefix stripped for feature files
         # (recursive_caption_dataset.py:98,186)
         self._strip = 2 if d.dset_name == "anet" else 0
@@ -376,6 +381,24 @@ class CaptionDataset:
                 if eff > len(idx):
                     batch = pad_batch_to(batch, eff)
             yield batch, [e.meta for e in examples]
+
+
+def inference_entries(spec: Dict[str, dict], max_n_sen: int) -> List[dict]:
+    """User inference spec -> CaptionDataset entries (no ground truth).
+
+    ``spec`` maps video id -> {"timestamps": [[start_s, end_s], ...],
+    "ingredients": [str, ...]}; sentences are optional and default to
+    empty (greedy/beam decode zeroes the text inputs regardless —
+    reference translator.py:205-228)."""
+    out = []
+    for name, line in spec.items():
+        ts = [list(t) for t in line["timestamps"]][:max_n_sen]
+        if not ts:
+            raise ValueError(f"{name}: needs at least one timestamp pair")
+        sents = list(line.get("sentences") or [""] * len(ts))[:len(ts)]
+        out.append(dict(name=name, timestamps=ts, sentences=sents,
+                        ingredients=list(line["ingredients"])))
+    return out
 
 
 def batch_examples(examples: Sequence[Example]) -> Batch:
