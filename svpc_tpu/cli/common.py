@@ -23,6 +23,31 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--verb2idx_path", default="cache/bosselut_verb_vocab.json")
     p.add_argument("--glove_path", default="")
     p.add_argument("--verb_glove_path", default="")
+    # architecture knobs (reference train.py:471-509; defaults are the
+    # experiment of record)
+    p.add_argument("--hidden_size", type=int, default=768)
+    p.add_argument("--intermediate_size", type=int, default=768)
+    p.add_argument("--lstm_hidden_size", type=int, default=768)
+    p.add_argument("--num_hidden_layers", type=int, default=2)
+    p.add_argument("--num_attention_heads", type=int, default=12)
+    p.add_argument("--word_vec_size", type=int, default=300)
+    p.add_argument("--video_feature_size", type=int, default=3072)
+    p.add_argument("--type_vocab_size", type=int, default=4)
+    p.add_argument("--hidden_dropout_prob", type=float, default=0.1)
+    p.add_argument("--attention_probs_dropout_prob", type=float,
+                   default=0.1)
+    p.add_argument("--layer_norm_eps", type=float, default=1e-12)
+    p.add_argument("--initializer_range", type=float, default=0.02)
+    p.add_argument("--share_wd_cls_weight", action="store_true",
+                   help="tie the LM head to the word embedding (requires "
+                        "word_vec_size == hidden_size)")
+    p.add_argument("--use_asl", default="asl", choices=["asl", "bce"],
+                   help="action-supervision loss (reference train.py:512)")
+    p.add_argument("--grad_clip", type=float, default=1.0,
+                   help="global grad-norm clip; -1 disables "
+                        "(reference train.py:528)")
+    p.add_argument("--lr_warmup_proportion", type=float, default=0.1)
+    p.add_argument("--dset_name", default="yc2", choices=["yc2", "anet"])
     p.add_argument("--temperature", type=float, default=0.5)
     p.add_argument("--lam", type=float, default=0.5)
     p.add_argument("--max_n_sen", type=int, default=12)
@@ -72,8 +97,23 @@ def config_from_args(args) -> Config:
             max_n_sen=args.max_n_sen, max_t_len=args.max_t_len,
             max_v_len=args.max_v_len, max_i_len=args.max_i_len,
             label_smoothing=args.label_smoothing,
+            hidden_size=args.hidden_size,
+            intermediate_size=args.intermediate_size,
+            lstm_hidden_size=args.lstm_hidden_size,
+            num_hidden_layers=args.num_hidden_layers,
+            num_attention_heads=args.num_attention_heads,
+            word_vec_size=args.word_vec_size,
+            video_feature_size=args.video_feature_size,
+            type_vocab_size=args.type_vocab_size,
+            hidden_dropout_prob=args.hidden_dropout_prob,
+            attention_probs_dropout_prob=args.attention_probs_dropout_prob,
+            layer_norm_eps=args.layer_norm_eps,
+            initializer_range=args.initializer_range,
+            share_wd_cls_weight=args.share_wd_cls_weight,
+            use_asl=args.use_asl == "asl",
             compute_dtype=args.compute_dtype, use_pallas=args.use_pallas),
         data=DataConfig(
+            dset_name=args.dset_name,
             data_dir=args.data_dir,
             video_feature_dir=args.video_feature_dir,
             duration_file=args.duration_file,
@@ -85,6 +125,8 @@ def config_from_args(args) -> Config:
             batch_size=args.batch_size, val_batch_size=args.val_batch_size,
             n_epoch=args.n_epoch, max_es_cnt=args.max_es_cnt,
             save_mode=args.save_mode, seed=args.seed, lr=args.lr,
+            grad_clip=args.grad_clip,
+            lr_warmup_proportion=args.lr_warmup_proportion,
             ema_decay=args.ema_decay, freeze_glove=args.freeze_glove,
             dp_size=args.dp_size,
             grad_accum_steps=args.grad_accum_steps,
