@@ -55,7 +55,7 @@ def main(argv=None):
     entries = inference_entries(spec, cfg.model.max_n_sen)
 
     def make_ds(c):
-        ds = CaptionDataset(c, "infer", entries=entries)
+        ds = CaptionDataset(c, "infer", entries=entries, lazy_features=True)
         if ds.missing:
             raise SystemExit(
                 f"missing feature files for: {', '.join(ds.missing)} "

@@ -48,6 +48,10 @@ def add_common_args(p: argparse.ArgumentParser):
                         "(reference train.py:528)")
     p.add_argument("--lr_warmup_proportion", type=float, default=0.1)
     p.add_argument("--dset_name", default="yc2", choices=["yc2", "anet"])
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="threads for the native feature fill (the fill "
+                        "releases the GIL; the reference's flag is the "
+                        "triple-dashed '---num_workers', train.py:554)")
     p.add_argument("--temperature", type=float, default=0.5)
     p.add_argument("--lam", type=float, default=0.5)
     p.add_argument("--max_n_sen", type=int, default=12)
@@ -120,7 +124,8 @@ def config_from_args(args) -> Config:
             word2idx_path=args.word2idx_path,
             verb2idx_path=args.verb2idx_path,
             glove_path=args.glove_path,
-            verb_glove_path=args.verb_glove_path),
+            verb_glove_path=args.verb_glove_path,
+            num_workers=args.num_workers),
         train=TrainConfig(
             batch_size=args.batch_size, val_batch_size=args.val_batch_size,
             n_epoch=args.n_epoch, max_es_cnt=args.max_es_cnt,

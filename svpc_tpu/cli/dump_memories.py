@@ -79,7 +79,7 @@ def main():
         raise SystemExit(f"checkpoint not found: {args.checkpoint}")
     os.makedirs(args.output_dir, exist_ok=True)
 
-    ds = CaptionDataset(cfg, args.split)
+    ds = CaptionDataset(cfg, args.split, lazy_features=True)
     sample, _ = next(iter(ds.batches(cfg.train.val_batch_size)))
     from svpc_tpu.train.loop import restore_train_state
     model, state = restore_train_state(cfg, sample, args.checkpoint)

@@ -52,9 +52,9 @@ def main():
         from svpc_tpu.model.load_reference import import_reference_checkpoint
         cfg, model, eval_params = import_reference_checkpoint(
             args.checkpoint, cfg)
-        ds = CaptionDataset(cfg, args.split)
+        ds = CaptionDataset(cfg, args.split, lazy_features=True)
     else:
-        ds = CaptionDataset(cfg, args.split)
+        ds = CaptionDataset(cfg, args.split, lazy_features=True)
         if len(ds) and len(ds) < cfg.train.val_batch_size:
             cfg = cfg.replace_train(val_batch_size=len(ds))
         sample, _ = next(iter(ds.batches(cfg.train.val_batch_size)))

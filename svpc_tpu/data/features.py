@@ -25,6 +25,7 @@ class FeatureStore:
         self.feature_dir = feature_dir
         self._cache: Dict[str, np.ndarray] = {}
         self._cache_size = cache_size
+        self._rows: Dict[str, int] = {}
 
     def paths(self, video_name: str) -> Tuple[str, str]:
         return (
@@ -45,6 +46,38 @@ class FeatureStore:
         if self._cache_size and len(self._cache) < self._cache_size:
             self._cache[video_name] = feat
         return feat
+
+    def rows(self, video_name: str) -> int:
+        """Feature row count from the .npy header alone (no data IO) —
+        enough to compute every clip's valid length without touching the
+        feature bytes (lazy pipeline)."""
+        if video_name in self._rows:
+            return self._rows[video_name]
+        with open(self.paths(video_name)[0], "rb") as f:
+            version = np.lib.format.read_magic(f)
+            shape, _, _ = np.lib.format._read_array_header(f, version)
+        self._rows[video_name] = shape[0]
+        return shape[0]
+
+
+def clip_valid_length(feat_len: int, timestamp, frm2sec: float,
+                      max_v_len: int) -> int:
+    """Number of [VID] rows a clip will occupy — the pure-math part of
+    ``index_clip_features`` (no feature IO; drives the lazy pipeline)."""
+    st, ed = timestamp_to_feature_span(feat_len, timestamp, frm2sec)
+    return min(ed - st + 1, max_v_len - 2)
+
+
+def fill_clip_features(raw_feat: np.ndarray, timestamps, frm2sec: float,
+                       max_v_len: int, out: np.ndarray) -> None:
+    """Numpy fallback for the native into-buffer fill: write each clip's
+    rows into ``out[c, 1:valid+1]`` (out: (n_clips, total_len, D), zeroed;
+    total_len may be smaller than max_v_len when the batch's span bucket
+    is)."""
+    for c, ts in enumerate(timestamps):
+        feat, valid_l, _ = index_clip_features(
+            raw_feat, ts, frm2sec, max_v_len, max_v_len)
+        out[c, 1:valid_l + 1] = feat[1:valid_l + 1]
 
 
 def index_clip_features(

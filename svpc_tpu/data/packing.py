@@ -131,7 +131,8 @@ def pack_examples(examples, max_t_len: int, batch_size: Optional[int] = None,
                   v_len: Optional[int] = None,
                   clip_multiple: int = 16,
                   v_multiple: int = 16,
-                  dp_shards: int = 1) -> Batch:
+                  dp_shards: int = 1,
+                  fill_workers: int = 0) -> Batch:
     """Examples -> packed batch directly, skipping the dense (B, S, ...)
     intermediate.
 
@@ -170,7 +171,8 @@ def pack_examples(examples, max_t_len: int, batch_size: Optional[int] = None,
         raise ValueError(f"v_len={v_len} outside (0, {Lv}]")
 
     # per-video arrays: stacked with zero/IGNORE padding to B
-    from svpc_tpu.data.pipeline import ARRAY_KEYS
+    from svpc_tpu.data.pipeline import ARRAY_KEYS, fill_features_from_ref
+    lazy = "video_feature" not in first
     out: Batch = {}
     for k in ARRAY_KEYS:
         if k in _CLIP_KEYS:
@@ -190,10 +192,12 @@ def pack_examples(examples, max_t_len: int, batch_size: Optional[int] = None,
         fill = tok.IGNORE if k == "input_labels" else 0
         clip_arrays[k] = np.full((total, v_len + max_t_len), fill,
                                  first[k].dtype)
-    clip_arrays["video_feature"] = np.zeros(
-        (total, v_len) + first["video_feature"].shape[2:],
-        first["video_feature"].dtype)
+    feat_shape = ((examples[0].meta["feature_ref"]["feature_size"],)
+                  if lazy else first["video_feature"].shape[2:])
+    clip_arrays["video_feature"] = np.zeros((total, v_len) + feat_shape,
+                                            np.float32)
 
+    fill_jobs = []
     for b, (e, n) in enumerate(zip(examples, steps)):
         if not n:
             continue
@@ -207,8 +211,25 @@ def pack_examples(examples, max_t_len: int, batch_size: Optional[int] = None,
                   "input_labels"):
             clip_arrays[k][lo:lo + n, :v_len] = arrs[k][:n, :v_len]
             clip_arrays[k][lo:lo + n, v_len:] = arrs[k][:n, Lv:]
-        clip_arrays["video_feature"][lo:lo + n] = \
-            arrs["video_feature"][:n, :v_len]
+        if lazy:
+            # the lazy pipeline's one feature copy: straight into the
+            # packed batch buffer (native packer: mmap -> buffer)
+            ref = e.meta["feature_ref"]
+            assert int(ref["valid"].max(initial=0)) + 2 <= v_len
+            fill_jobs.append((ref, clip_arrays["video_feature"][lo:lo + n]))
+        else:
+            clip_arrays["video_feature"][lo:lo + n] = \
+                arrs["video_feature"][:n, :v_len]
+
+    if fill_workers > 1 and len(fill_jobs) > 1:
+        # the native fill releases the GIL (ctypes), so threads give real
+        # parallelism on multi-core hosts
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(fill_workers) as pool:
+            list(pool.map(lambda j: fill_features_from_ref(*j), fill_jobs))
+    else:
+        for job in fill_jobs:
+            fill_features_from_ref(*job)
 
     for k, v in clip_arrays.items():
         out[f"clip_{k}"] = v

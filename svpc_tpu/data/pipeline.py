@@ -70,7 +70,7 @@ def build_ingredient_arrays(
     Mirrors clip_ingredient_to_feature (recursive_caption_dataset.py:239-281):
     OOV ingredient words get ids ``vocab_size + k`` in first-seen order; the
     per-entity id groups drive the copy distribution scatter.
-    """
+    """  # (see fill_features_from_ref below for the lazy feature path)
     tokens, mask, sep_mask = tok.tokenize_ingredients(ingredients, max_i_len)
     ids = vocab.encode(tokens)
 
@@ -150,7 +150,9 @@ def build_clip_arrays(
     Token layout ``[CLS] [VID]* [SEP] [PAD]* | [BOS] w* [EOS] [PAD]*``
     (reference: recursive_caption_dataset.py:283-340).  ``packed`` carries
     a (features, valid_len) pair already produced by the native C++
-    packer; otherwise the numpy path indexes ``raw_feat``."""
+    packer — features may be None (lazy pipeline: token arrays only, the
+    feature bytes are filled straight into the batch buffer later);
+    otherwise the numpy path indexes ``raw_feat``."""
     if packed is not None:
         feat, valid_l = packed
     else:
@@ -185,13 +187,15 @@ def build_clip_arrays(
     input_mask = video_mask + text_mask
     token_type_ids = [0] * max_v_len + [1] * max_t_len
 
-    return dict(
+    out = dict(
         input_ids=np.asarray(input_ids, dtype=np.int32),
         input_labels=np.asarray(input_labels, dtype=np.int32),
         input_mask=np.asarray(input_mask, dtype=np.float32),
         token_type_ids=np.asarray(token_type_ids, dtype=np.int32),
-        video_feature=feat,
     )
+    if feat is not None:
+        out["video_feature"] = feat
+    return out
 
 
 class CaptionDataset:
@@ -200,8 +204,24 @@ class CaptionDataset:
     def __init__(self, cfg: Config, split: str, num_steps: Optional[int] = None,
                  feature_store: Optional[FeatureStore] = None,
                  use_native: bool = True,
-                 entries: Optional[List[dict]] = None):
+                 entries: Optional[List[dict]] = None,
+                 lazy_features: bool = False,
+                 cache_examples: Optional[bool] = None):
         self.use_native = use_native
+        # lazy_features: examples carry a feature *reference* (paths +
+        # clip spans, valid lengths from the .npy header) instead of the
+        # materialized (S, Lv, D) array; batch builders fill the final
+        # batch buffer directly (native packer: mmap -> batch buffer, one
+        # copy total).  The eager default keeps Example.arrays complete.
+        self.lazy_features = lazy_features
+        # example building (tokenization, span math, supervision one-hots)
+        # is deterministic per video, so lazy examples — tiny without the
+        # feature array, ~25 KB each — are cached across epochs: epoch 2+
+        # pays only the native feature fill + batch assembly
+        if cache_examples is None:
+            cache_examples = lazy_features
+        self._example_cache: Optional[Dict[int, Example]] = (
+            {} if cache_examples else None)
         m, d = cfg.model, cfg.data
         self.cfg = cfg
         self.split = split
@@ -249,6 +269,12 @@ class CaptionDataset:
         return len(self.data)
 
     def __getitem__(self, index: int) -> Example:
+        if self._example_cache is not None:
+            ex = self._example_cache.get(index)
+            if ex is None:
+                ex = self._example_cache[index] = \
+                    self.make_example(self.data[index])
+            return ex
         return self.make_example(self.data[index])
 
     def make_example(self, entry: dict) -> Example:
@@ -267,10 +293,30 @@ class CaptionDataset:
         L = m.max_v_len + m.max_t_len
 
         # feature hot path: native C++ packer (mmap + direct fill),
-        # bit-exact with the numpy fallback (tests/test_native.py)
+        # bit-exact with the numpy fallback (tests/test_native.py).
+        # Lazy mode skips the feature bytes entirely: valid lengths come
+        # from the .npy header + span math, and the batch builder fills
+        # the final buffer straight from the mmap later.
         packed = None
         raw_feat = None
-        if self.use_native:
+        valid_lens = None
+        feature_ref = None
+        if self.lazy_features:
+            from svpc_tpu.data.features import clip_valid_length
+            feat_len = self.store.rows(video_name)
+            valid_lens = np.array(
+                [clip_valid_length(feat_len, entry["timestamps"][s],
+                                   frm2sec, m.max_v_len)
+                 for s in range(n_sen)], np.int64)
+            feature_ref = dict(
+                store=self.store, name=video_name,
+                timestamps=np.asarray(entry["timestamps"][:n_sen],
+                                      np.float64),
+                frm2sec=frm2sec, valid=valid_lens,
+                max_v_len=m.max_v_len,
+                feature_size=m.video_feature_size,
+                use_native=self.use_native)
+        elif self.use_native:
             from svpc_tpu.native import pack_video_native
             p_resnet, p_bn = self.store.paths(video_name)
             res = pack_video_native(
@@ -279,7 +325,7 @@ class CaptionDataset:
                 frm2sec, m.max_v_len, m.max_v_len, m.video_feature_size)
             if res is not None:
                 packed = res
-        if packed is None:
+        if packed is None and not self.lazy_features:
             raw_feat = self.store.load(video_name)
 
         out = dict(
@@ -287,17 +333,23 @@ class CaptionDataset:
             input_labels=np.full((S, L), tok.IGNORE, np.int32),
             input_mask=np.zeros((S, L), np.float32),
             token_type_ids=np.zeros((S, L), np.int32),
-            video_feature=np.zeros((S, m.max_v_len, m.video_feature_size),
-                                   np.float32),
         )
+        if not self.lazy_features:
+            out["video_feature"] = np.zeros(
+                (S, m.max_v_len, m.video_feature_size), np.float32)
         for s in range(n_sen):
+            if self.lazy_features:
+                clip_packed = (None, int(valid_lens[s]))
+            elif packed:
+                clip_packed = (packed[0][s], int(packed[1][s]))
+            else:
+                clip_packed = None
             clip = build_clip_arrays(
                 entry["timestamps"][s], entry["sentences"][s], raw_feat,
                 frm2sec, self.vocab, oov_word_dict, m.max_v_len, m.max_t_len,
-                packed=(packed[0][s], int(packed[1][s])) if packed else None)
+                packed=clip_packed)
             for k in out:
-                key = "input_labels" if k == "input_labels" else k
-                out[k][s] = clip[key]
+                out[k][s] = clip[k]
 
         step_mask = np.zeros((S,), np.float32)
         step_mask[:n_sen] = 1.0
@@ -325,6 +377,8 @@ class CaptionDataset:
             n_steps=n_sen,
             n_entities=ingr_meta["n_entities"],
         )
+        if feature_ref is not None:
+            meta["feature_ref"] = feature_ref
         return Example(arrays=arrays, meta=meta)
 
     def work_key(self, index: int):
@@ -401,8 +455,38 @@ def inference_entries(spec: Dict[str, dict], max_n_sen: int) -> List[dict]:
     return out
 
 
+def fill_features_from_ref(ref: Dict, block: np.ndarray) -> None:
+    """Fill ``block`` (n_rows >= n_clips, total_len, D; zeroed,
+    C-contiguous f32) with the referenced video's clip features — the
+    lazy pipeline's single feature copy (native: mmap -> ``block``)."""
+    if len(ref["timestamps"]) == 0:
+        return
+    store = ref["store"]
+    if ref.get("use_native", True):
+        from svpc_tpu.native import pack_video_into
+        p_resnet, p_bn = store.paths(ref["name"])
+        valid = pack_video_into(p_resnet, p_bn, ref["timestamps"],
+                                ref["frm2sec"], ref["max_v_len"], block, 0)
+        if valid is not None:
+            return
+    from svpc_tpu.data.features import fill_clip_features
+    fill_clip_features(store.load(ref["name"]), ref["timestamps"],
+                       ref["frm2sec"], ref["max_v_len"], block)
+
+
 def batch_examples(examples: Sequence[Example]) -> Batch:
-    return {k: np.stack([e.arrays[k] for e in examples]) for k in ARRAY_KEYS}
+    out = {k: np.stack([e.arrays[k] for e in examples])
+           for k in ARRAY_KEYS if k in examples[0].arrays}
+    if "video_feature" not in out:
+        # lazy pipeline: materialize the dense feature grid here
+        refs = [e.meta["feature_ref"] for e in examples]
+        S = examples[0].arrays["step_mask"].shape[0]
+        feat = np.zeros((len(examples), S, refs[0]["max_v_len"],
+                         refs[0]["feature_size"]), np.float32)
+        for b, ref in enumerate(refs):
+            fill_features_from_ref(ref, feat[b])
+        out["video_feature"] = feat
+    return out
 
 
 def pad_batch_to(batch: Batch, batch_size: int) -> Batch:

@@ -89,3 +89,38 @@ def pack_video_native(resnet_path: str, bn_path: str, timestamps,
     if rc != 0:
         return None
     return out, valid
+
+
+def pack_video_into(resnet_path: str, bn_path: str, timestamps,
+                    frm2sec: float, max_v_len: int,
+                    out: np.ndarray, lo: int, n_threads: int = 2):
+    """Fill ``out[lo:lo+n_clips]`` in place — the zero-extra-copy path of
+    the lazy pipeline: feature bytes move exactly once, mmap -> the final
+    batch buffer.
+
+    ``out`` must be a zero-initialized C-contiguous float32 array of shape
+    (N, total_len, D) with N >= lo + n_clips; ``total_len`` (the bucketed
+    video span) is read off the buffer.  Returns the per-clip valid
+    lengths, or None if the native library is unavailable or errors.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    ts = np.ascontiguousarray(timestamps, dtype=np.float64)
+    n_clips = ts.shape[0]
+    N, total_len, feature_size = out.shape
+    assert out.dtype == np.float32 and out.flags.c_contiguous
+    assert 0 <= lo and lo + n_clips <= N, (lo, n_clips, N)
+    valid = np.zeros((n_clips,), dtype=np.int64)
+    base = out.ctypes.data + lo * total_len * feature_size * 4
+    rc = lib.svpc_pack_video(
+        resnet_path.encode(), bn_path.encode(),
+        ts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(n_clips), ctypes.c_double(frm2sec),
+        ctypes.c_int64(max_v_len), ctypes.c_int64(total_len),
+        ctypes.cast(base, ctypes.POINTER(ctypes.c_float)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n_threads))
+    if rc != 0:
+        return None
+    return valid

@@ -105,7 +105,8 @@ def packing_builder(cfg: Config, mesh=None, n_clips: Optional[int] = None,
             examples, cfg.model.max_t_len, batch_size=batch_size,
             n_clips=n_clips, v_len=v_len,
             clip_multiple=cfg.train.pack_clip_multiple,
-            v_multiple=cfg.train.pack_v_multiple, dp_shards=dp)
+            v_multiple=cfg.train.pack_v_multiple, dp_shards=dp,
+            fill_workers=cfg.data.num_workers)
 
     return build
 
@@ -225,8 +226,8 @@ def train(cfg: Config, workdir: str,
     os.makedirs(workdir, exist_ok=True)
     cfg.to_json(os.path.join(workdir, "config.json"))
 
-    train_ds = CaptionDataset(cfg, "train")
-    val_ds = CaptionDataset(cfg, "val")
+    train_ds = CaptionDataset(cfg, "train", lazy_features=True)
+    val_ds = CaptionDataset(cfg, "val", lazy_features=True)
     logger.info("train videos: %d, val videos: %d", len(train_ds), len(val_ds))
     if len(val_ds) and len(val_ds) < cfg.train.val_batch_size:
         cfg = cfg.replace_train(val_batch_size=len(val_ds))
