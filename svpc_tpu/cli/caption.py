@@ -52,6 +52,9 @@ def main(argv=None):
         raise SystemExit(f"checkpoint not found: {args.checkpoint}")
     with open(args.input_json) as f:
         spec = json.load(f)
+    if not spec:
+        raise SystemExit(f"{args.input_json} is empty — expected "
+                         "{video_id: {timestamps, ingredients}}")
     entries = inference_entries(spec, cfg.model.max_n_sen)
 
     def make_ds(c):

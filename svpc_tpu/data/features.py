@@ -55,7 +55,9 @@ class FeatureStore:
             return self._rows[video_name]
         with open(self.paths(video_name)[0], "rb") as f:
             version = np.lib.format.read_magic(f)
-            shape, _, _ = np.lib.format._read_array_header(f, version)
+            reader = (np.lib.format.read_array_header_1_0 if version[0] == 1
+                      else np.lib.format.read_array_header_2_0)
+            shape, _, _ = reader(f)
         self._rows[video_name] = shape[0]
         return shape[0]
 

@@ -83,13 +83,14 @@ def pack_batch(batch: Batch, max_t_len: int,
         raise ValueError(f"shard has {n_max} real clips > n_clips={N}")
 
     # batch-max valid video length (+2 for [CLS]/[SEP]) -> bucketed span
+    b_all, s_all = np.nonzero(step_mask > 0)
+    valid = (int(batch["input_mask"][b_all, s_all, :Lv].sum(axis=-1).max())
+             if len(b_all) else 2)
     if v_len is None:
-        b_all, s_all = np.nonzero(step_mask > 0)
-        if len(b_all):
-            valid = batch["input_mask"][b_all, s_all, :Lv].sum(axis=-1).max()
-        else:
-            valid = 2
-        v_len = _round_up(int(valid), v_multiple, cap=Lv)
+        v_len = _round_up(valid, v_multiple, cap=Lv)
+    elif v_len < valid:
+        raise ValueError(
+            f"v_len={v_len} < batch max valid video span {valid}")
     if not (0 < v_len <= Lv):
         raise ValueError(f"v_len={v_len} outside (0, {Lv}]")
 
@@ -160,13 +161,19 @@ def pack_examples(examples, max_t_len: int, batch_size: Optional[int] = None,
     if n_max > N:
         raise ValueError(f"shard has {n_max} real clips > n_clips={N}")
 
+    valid = 2
+    for e, n in zip(examples, steps):
+        if n:
+            valid = max(valid, int(
+                e.arrays["input_mask"][:n, :Lv].sum(axis=-1).max()))
     if v_len is None:
-        valid = 2
-        for e, n in zip(examples, steps):
-            if n:
-                valid = max(valid, int(
-                    e.arrays["input_mask"][:n, :Lv].sum(axis=-1).max()))
         v_len = _round_up(int(valid), v_multiple, cap=Lv)
+    elif v_len < valid:
+        # an explicit span bucket smaller than the batch's longest clip
+        # would silently truncate (eager) or overrun the packed buffer
+        # (native fill) — always an error
+        raise ValueError(
+            f"v_len={v_len} < batch max valid video span {valid}")
     if not (0 < v_len <= Lv):
         raise ValueError(f"v_len={v_len} outside (0, {Lv}]")
 
@@ -215,7 +222,9 @@ def pack_examples(examples, max_t_len: int, batch_size: Optional[int] = None,
             # the lazy pipeline's one feature copy: straight into the
             # packed batch buffer (native packer: mmap -> buffer)
             ref = e.meta["feature_ref"]
-            assert int(ref["valid"].max(initial=0)) + 2 <= v_len
+            if int(ref["valid"].max(initial=0)) + 2 > v_len:
+                raise ValueError(  # hard bound: the native fill writes
+                    f"{ref['name']}: clip span exceeds v_len={v_len}")
             fill_jobs.append((ref, clip_arrays["video_feature"][lo:lo + n]))
         else:
             clip_arrays["video_feature"][lo:lo + n] = \

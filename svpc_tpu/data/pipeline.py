@@ -407,6 +407,8 @@ class CaptionDataset:
         small video-span buckets under packing while the epoch stays
         stochastic.  The reference shuffles uniformly (and pays batch-max
         padding on every batch)."""
+        if batch_size <= 0:
+            raise ValueError(f"batch_size must be positive, got {batch_size}")
         rng = np.random.RandomState(seed)
         order = np.arange(len(self))
         if shuffle:
@@ -449,7 +451,8 @@ def inference_entries(spec: Dict[str, dict], max_n_sen: int) -> List[dict]:
         ts = [list(t) for t in line["timestamps"]][:max_n_sen]
         if not ts:
             raise ValueError(f"{name}: needs at least one timestamp pair")
-        sents = list(line.get("sentences") or [""] * len(ts))[:len(ts)]
+        sents = list(line.get("sentences") or [])[:len(ts)]
+        sents += [""] * (len(ts) - len(sents))  # every clip gets decoded
         out.append(dict(name=name, timestamps=ts, sentences=sents,
                         ingredients=list(line["ingredients"])))
     return out

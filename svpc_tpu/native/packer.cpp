@@ -13,6 +13,8 @@
 // builds on first use).
 
 #include <algorithm>
+#include <atomic>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -46,11 +48,16 @@ NpyArray open_npy(const char* path) {
   if (fd < 0) return out;
   struct stat st;
   if (fstat(fd, &st) != 0 || st.st_size < 16) { ::close(fd); return out; }
-  // MAP_POPULATE prefaults the mapping in one sequential sweep: per-access
-  // soft faults otherwise dominate the copy (~2 ms/video of ~1 us faults
-  // vs memcpy at 8 GB/s) since every video is a fresh mapping
-  void* base = ::mmap(nullptr, st.st_size, PROT_READ,
-                      MAP_PRIVATE | MAP_POPULATE, fd, 0);
+  // MAP_POPULATE (Linux-only) prefaults the mapping in one sequential
+  // sweep: per-access soft faults otherwise dominate the copy (~2 ms/video
+  // of ~1 us faults vs memcpy at 8 GB/s) since every video is a fresh
+  // mapping
+#ifdef MAP_POPULATE
+  constexpr int kMapFlags = MAP_PRIVATE | MAP_POPULATE;
+#else
+  constexpr int kMapFlags = MAP_PRIVATE;
+#endif
+  void* base = ::mmap(nullptr, st.st_size, PROT_READ, kMapFlags, fd, 0);
   ::close(fd);
   if (base == MAP_FAILED) return out;
   const unsigned char* p = static_cast<const unsigned char*>(base);
@@ -97,11 +104,14 @@ void close_npy(NpyArray& a) {
 // (the YC2 feature set is ~10 GB); svpc_mmap_cache_clear() drops it.
 std::mutex g_cache_mu;
 std::unordered_map<std::string, NpyArray> g_cache;
-bool g_cache_enabled = true;
+std::atomic<bool> g_cache_enabled{true};
+// packs currently copying from cached mappings; svpc_mmap_cache_clear
+// waits for this to drain so it never munmaps under an active memcpy
+std::atomic<int64_t> g_inflight{0};
 
 // (array, owned_by_caller) — caller close()s only when owned
 std::pair<NpyArray, bool> acquire_npy(const char* path) {
-  if (!g_cache_enabled) return {open_npy(path), true};
+  if (!g_cache_enabled.load()) return {open_npy(path), true};
   {
     std::lock_guard<std::mutex> lk(g_cache_mu);
     auto it = g_cache.find(path);
@@ -143,11 +153,13 @@ int svpc_pack_video(const char* resnet_path, const char* bn_path,
                     int64_t n_clips, double frm2sec, int64_t max_v_len,
                     int64_t total_len, float* out, int64_t* valid_lens,
                     int64_t n_threads) {
+  g_inflight.fetch_add(1);
   auto [resnet, own_r] = acquire_npy(resnet_path);
   auto [bn, own_b] = acquire_npy(bn_path);
   auto release = [&]() {
     if (own_r) close_npy(resnet);
     if (own_b) close_npy(bn);
+    g_inflight.fetch_sub(1);
   };
   if (!resnet.ok || !bn.ok) {
     release();
@@ -206,17 +218,25 @@ int svpc_pack_video(const char* resnet_path, const char* bn_path,
   return 0;
 }
 
-// Drop every cached mapping (tests / memory pressure).
+// Drop every cached mapping (tests / memory pressure).  Disables the
+// cache for the drain window so no new cached reference can be handed
+// out, then waits for in-flight packs before unmapping.
 void svpc_mmap_cache_clear() {
-  std::lock_guard<std::mutex> lk(g_cache_mu);
-  for (auto& kv : g_cache) close_npy(kv.second);
-  g_cache.clear();
+  const bool was_enabled = g_cache_enabled.exchange(false);
+  while (g_inflight.load() > 0) {
+    std::this_thread::sleep_for(std::chrono::milliseconds(1));
+  }
+  {
+    std::lock_guard<std::mutex> lk(g_cache_mu);
+    for (auto& kv : g_cache) close_npy(kv.second);
+    g_cache.clear();
+  }
+  g_cache_enabled.store(was_enabled);
 }
 
 // Toggle the mmap cache (on by default).
 void svpc_mmap_cache_enable(int on) {
-  std::lock_guard<std::mutex> lk(g_cache_mu);
-  g_cache_enabled = on != 0;
+  g_cache_enabled.store(on != 0);
 }
 
 // Probe a video's feature length without loading data (for fix_missing /

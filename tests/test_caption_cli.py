@@ -57,6 +57,24 @@ def test_inference_entries_validation():
                 "ingredients": ["salt"]}}, max_n_sen=12)
     assert entries[0]["sentences"] == ["", ""]
 
+    # fewer sentences than timestamps must pad, not drop clips
+    entries = inference_entries(
+        {"v1": {"timestamps": [[0.0, 2.0], [2.0, 4.0], [4.0, 6.0]],
+                "sentences": ["a"], "ingredients": ["salt"]}}, max_n_sen=12)
+    assert entries[0]["sentences"] == ["a", "", ""]
+    assert len(entries[0]["timestamps"]) == 3
+
     with pytest.raises(ValueError, match="at least one timestamp"):
         inference_entries({"v2": {"timestamps": [], "ingredients": []}},
                           max_n_sen=12)
+
+
+def test_undersized_v_len_raises():
+    """An explicit span bucket smaller than the batch's longest clip must
+    error, not truncate (eager) or overrun the packed buffer (native)."""
+    from svpc_tpu.data.packing import pack_examples
+
+    names, feat_dir, dur_file = rb.setup_features(3)
+    cfg, ds = rb.build_ours("copy", feat_dir, dur_file)
+    with pytest.raises(ValueError, match="v_len"):
+        pack_examples([ds[0]], cfg.model.max_t_len, v_len=4)
