@@ -71,6 +71,9 @@ def main():
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--split", default="val", choices=["train", "val", "test"])
     p.add_argument("--output_dir", required=True)
+    p.add_argument("--torch_checkpoint", action="store_true",
+                   help="--checkpoint is a reference PyTorch .chkpt file; "
+                        "weights are imported directly")
     args = p.parse_args()
     cfg = config_from_args(args)
     if cfg.model.model_mode not in ("full", "reason_copy"):
@@ -79,12 +82,23 @@ def main():
         raise SystemExit(f"checkpoint not found: {args.checkpoint}")
     os.makedirs(args.output_dir, exist_ok=True)
 
-    ds = CaptionDataset(cfg, args.split, lazy_features=True)
-    sample, _ = next(iter(ds.batches(cfg.train.val_batch_size)))
-    from svpc_tpu.train.loop import restore_train_state
-    model, state = restore_train_state(cfg, sample, args.checkpoint)
+    if args.torch_checkpoint:
+        from svpc_tpu.model.load_reference import import_reference_checkpoint
+        cfg, model, eval_params = import_reference_checkpoint(
+            args.checkpoint, cfg)
+        ds = CaptionDataset(cfg, args.split, lazy_features=True)
+        if len(ds) and len(ds) < cfg.train.val_batch_size:
+            cfg = cfg.replace_train(val_batch_size=len(ds))
+    else:
+        ds = CaptionDataset(cfg, args.split, lazy_features=True)
+        if len(ds) and len(ds) < cfg.train.val_batch_size:
+            cfg = cfg.replace_train(val_batch_size=len(ds))
+        sample, _ = next(iter(ds.batches(cfg.train.val_batch_size)))
+        from svpc_tpu.train.loop import restore_train_state
+        model, state = restore_train_state(cfg, sample, args.checkpoint)
+        eval_params = state.eval_params()
 
-    dump = dump_memories(model, state.eval_params(), ds, cfg)
+    dump = dump_memories(model, eval_params, ds, cfg)
     model_type = MODE_TO_MODEL_TYPE[cfg.model.model_mode]
     out_path = os.path.join(args.output_dir,
                             f"{model_type}_step_embedding_dict.pkl")
