@@ -25,6 +25,10 @@
 #include <utility>
 #include <vector>
 
+#if defined(__x86_64__) && defined(__GNUC__)
+#include <immintrin.h>
+#endif
+
 #include <fcntl.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
@@ -35,13 +39,83 @@ namespace {
 struct NpyArray {
   void* map_base = nullptr;
   size_t map_len = 0;
-  const float* data = nullptr;  // only f4 C-order supported
+  const void* data = nullptr;  // '<f4' or '<f2', C-order
   int64_t rows = 0;
   int64_t cols = 0;
+  bool is_half = false;
   bool ok = false;
 };
 
-// Minimal .npy (v1.x/2.x) header parser for '<f4', C-order, 2-D arrays.
+// Exact widening conversion, matching numpy's float16 -> float32 cast
+// (including subnormals, infinities and NaN payloads).
+inline float half_to_float(uint16_t h) {
+  const uint32_t sign = static_cast<uint32_t>(h & 0x8000u) << 16;
+  const uint32_t exp = (h >> 10) & 0x1fu;
+  uint32_t man = h & 0x3ffu;
+  uint32_t bits;
+  if (exp == 0) {
+    if (man == 0) {
+      bits = sign;  // +-0
+    } else {
+      int p = 9;  // normalize the subnormal: v = 2^-14 * man/2^10
+      while (!(man & (1u << p))) --p;
+      const uint32_t rest = man & ((1u << p) - 1u);
+      bits = sign | (static_cast<uint32_t>(103 + p) << 23)
+          | (rest << (23 - p));
+    }
+  } else if (exp == 31) {
+    bits = sign | 0x7f800000u | (man << 13);  // inf / NaN
+  } else {
+    bits = sign | ((exp - 15 + 127) << 23) | (man << 13);
+  }
+  float f;
+  std::memcpy(&f, &bits, sizeof(f));
+  return f;
+}
+
+void half_cvt_scalar(const uint16_t* src, float* dst, int64_t n) {
+  for (int64_t c = 0; c < n; ++c) dst[c] = half_to_float(src[c]);
+}
+
+#if defined(__x86_64__) && defined(__GNUC__)
+__attribute__((target("f16c,avx")))
+void half_cvt_f16c(const uint16_t* src, float* dst, int64_t n) {
+  int64_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    _mm256_storeu_ps(dst + i, _mm256_cvtph_ps(_mm_loadu_si128(
+        reinterpret_cast<const __m128i*>(src + i))));
+  }
+  for (; i < n; ++i) dst[i] = half_to_float(src[i]);
+}
+#endif
+
+using HalfCvtFn = void (*)(const uint16_t*, float*, int64_t);
+
+HalfCvtFn resolve_half_cvt() {
+#if defined(__x86_64__) && defined(__GNUC__)
+  if (__builtin_cpu_supports("f16c") && __builtin_cpu_supports("avx"))
+    return half_cvt_f16c;  // hardware widening (bit-identical to scalar)
+#endif
+  return half_cvt_scalar;
+}
+
+const HalfCvtFn g_half_cvt = resolve_half_cvt();
+
+// One feature row into the f32 batch buffer: memcpy for f4 sources, the
+// exact widening conversion for f2 (half-precision feature stores halve
+// disk + memory traffic; see cli/convert_features.py).
+inline void copy_row(float* dst, const NpyArray& a, int64_t row) {
+  if (!a.is_half) {
+    std::memcpy(dst, static_cast<const float*>(a.data) + row * a.cols,
+                a.cols * sizeof(float));
+  } else {
+    g_half_cvt(static_cast<const uint16_t*>(a.data) + row * a.cols,
+               dst, a.cols);
+  }
+}
+
+// Minimal .npy (v1.x/2.x) header parser for '<f4'/'<f2', C-order, 2-D
+// arrays.
 NpyArray open_npy(const char* path) {
   NpyArray out;
   int fd = ::open(path, O_RDONLY);
@@ -73,11 +147,14 @@ NpyArray open_npy(const char* path) {
     header_off = 12;
   }
   std::string header(reinterpret_cast<const char*>(p + header_off), header_len);
-  if (header.find("'<f4'") == std::string::npos ||
+  const bool is_f4 = header.find("'<f4'") != std::string::npos;
+  const bool is_f2 = header.find("'<f2'") != std::string::npos;
+  if ((!is_f4 && !is_f2) ||
       header.find("'fortran_order': False") == std::string::npos) {
     ::munmap(base, st.st_size);
     return out;
   }
+  out.is_half = is_f2;
   size_t sh = header.find("'shape': (");
   if (sh == std::string::npos) { ::munmap(base, st.st_size); return out; }
   sh += 10;
@@ -87,7 +164,7 @@ NpyArray open_npy(const char* path) {
   if (out.cols <= 0) { ::munmap(base, st.st_size); return out; }
   out.map_base = base;
   out.map_len = st.st_size;
-  out.data = reinterpret_cast<const float*>(p + header_off + header_len);
+  out.data = p + header_off + header_len;
   out.ok = true;
   return out;
 }
@@ -186,16 +263,16 @@ int svpc_pack_video(const char* resnet_path, const char* bn_path,
         int64_t src = static_cast<int64_t>(st + step * i);
         if (i == max_v_l - 1) src = ed;
         float* dst = clip_out + (i + 1) * d;
-        std::memcpy(dst, resnet.data + src * d_r, d_r * sizeof(float));
-        std::memcpy(dst + d_r, bn.data + src * d_b, d_b * sizeof(float));
+        copy_row(dst, resnet, src);
+        copy_row(dst + d_r, bn, src);
       }
       valid_lens[c] = max_v_l;
     } else {
       for (int64_t i = 0; i < span; ++i) {
         const int64_t src = st + i;
         float* dst = clip_out + (i + 1) * d;
-        std::memcpy(dst, resnet.data + src * d_r, d_r * sizeof(float));
-        std::memcpy(dst + d_r, bn.data + src * d_b, d_b * sizeof(float));
+        copy_row(dst, resnet, src);
+        copy_row(dst + d_r, bn, src);
       }
       valid_lens[c] = span;
     }
