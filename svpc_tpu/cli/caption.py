@@ -24,9 +24,10 @@ import json
 import logging
 import os
 
-from svpc_tpu.cli.common import add_common_args, config_from_args
+from svpc_tpu.cli.common import (add_common_args, config_from_args,
+                                 load_eval_model)
 from svpc_tpu.data.pipeline import CaptionDataset, inference_entries
-from svpc_tpu.train.loop import restore_train_state, run_greedy_eval
+from svpc_tpu.train.loop import run_greedy_eval
 
 logger = logging.getLogger(__name__)
 
@@ -66,18 +67,7 @@ def main(argv=None):
                 f"{c.data.video_feature_dir})")
         return ds
 
-    if args.torch_checkpoint:
-        from svpc_tpu.model.load_reference import import_reference_checkpoint
-        cfg, model, eval_params = import_reference_checkpoint(
-            args.checkpoint, cfg)
-        ds = make_ds(cfg)
-    else:
-        ds = make_ds(cfg)
-        cfg = cfg.replace_train(
-            val_batch_size=min(cfg.train.val_batch_size, len(ds)))
-        sample, _ = next(iter(ds.batches(cfg.train.val_batch_size)))
-        model, state = restore_train_state(cfg, sample, args.checkpoint)
-        eval_params = state.eval_params()
+    cfg, model, eval_params, ds = load_eval_model(cfg, args, make_ds)
 
     submission = run_greedy_eval(
         model, eval_params, ds, cfg,

@@ -139,3 +139,30 @@ def config_from_args(args) -> Config:
             length_group=args.length_group,
             debug=args.debug),
     )
+
+
+def load_eval_model(cfg: Config, args, make_ds):
+    """(cfg, model, eval_params, dataset) for the offline tools.
+
+    Loads either an orbax checkpoint (via restore_train_state) or, with
+    ``--torch_checkpoint``, a reference PyTorch ``.chkpt`` whose geometry
+    overrides the config.  ``make_ds(cfg)`` builds the dataset — called
+    after any geometry override.  Shared by evaluate / dump_memories /
+    caption (the same torch-vs-orbax branch used to be triplicated).
+    """
+    if getattr(args, "torch_checkpoint", False):
+        from svpc_tpu.model.load_reference import import_reference_checkpoint
+        cfg, model, eval_params = import_reference_checkpoint(
+            args.checkpoint, cfg)
+        ds = make_ds(cfg)
+        if len(ds) and len(ds) < cfg.train.val_batch_size:
+            cfg = cfg.replace_train(val_batch_size=len(ds))
+    else:
+        ds = make_ds(cfg)
+        if len(ds) and len(ds) < cfg.train.val_batch_size:
+            cfg = cfg.replace_train(val_batch_size=len(ds))
+        sample, _ = next(iter(ds.batches(cfg.train.val_batch_size)))
+        from svpc_tpu.train.loop import restore_train_state
+        model, state = restore_train_state(cfg, sample, args.checkpoint)
+        eval_params = state.eval_params()
+    return cfg, model, eval_params, ds

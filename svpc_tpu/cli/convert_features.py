@@ -52,7 +52,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     if os.path.abspath(args.input_dir) == os.path.abspath(args.output_dir):
         raise SystemExit("output_dir must differ from input_dir")
-    n = convert_tree(args.input_dir, args.output_dir, np.float16)
+    n = convert_tree(args.input_dir, args.output_dir,
+                     {"float16": np.float16}[args.dtype])
     if not n:
         raise SystemExit(f"no .npy files under {args.input_dir}")
     logger.info("converted %d files to %s", n, args.output_dir)

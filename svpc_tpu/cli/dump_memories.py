@@ -82,21 +82,10 @@ def main():
         raise SystemExit(f"checkpoint not found: {args.checkpoint}")
     os.makedirs(args.output_dir, exist_ok=True)
 
-    if args.torch_checkpoint:
-        from svpc_tpu.model.load_reference import import_reference_checkpoint
-        cfg, model, eval_params = import_reference_checkpoint(
-            args.checkpoint, cfg)
-        ds = CaptionDataset(cfg, args.split, lazy_features=True)
-        if len(ds) and len(ds) < cfg.train.val_batch_size:
-            cfg = cfg.replace_train(val_batch_size=len(ds))
-    else:
-        ds = CaptionDataset(cfg, args.split, lazy_features=True)
-        if len(ds) and len(ds) < cfg.train.val_batch_size:
-            cfg = cfg.replace_train(val_batch_size=len(ds))
-        sample, _ = next(iter(ds.batches(cfg.train.val_batch_size)))
-        from svpc_tpu.train.loop import restore_train_state
-        model, state = restore_train_state(cfg, sample, args.checkpoint)
-        eval_params = state.eval_params()
+    from svpc_tpu.cli.common import load_eval_model
+    cfg, model, eval_params, ds = load_eval_model(
+        cfg, args, lambda c: CaptionDataset(c, args.split,
+                                            lazy_features=True))
 
     dump = dump_memories(model, eval_params, ds, cfg)
     model_type = MODE_TO_MODEL_TYPE[cfg.model.model_mode]

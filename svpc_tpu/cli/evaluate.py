@@ -12,13 +12,14 @@ import json
 import logging
 import os
 
-from svpc_tpu.cli.common import add_common_args, config_from_args
+from svpc_tpu.cli.common import (add_common_args, config_from_args,
+                                 load_eval_model)
 from svpc_tpu.data.anet import PARA_REFERENCE_FILES
 from svpc_tpu.data.pipeline import CaptionDataset
 from svpc_tpu.evaluation.ingredient_f1 import (
     build_ingredient_dictionary, ingredient_f1)
 from svpc_tpu.evaluation.para_eval import evaluate_submission
-from svpc_tpu.train.loop import restore_train_state, run_greedy_eval
+from svpc_tpu.train.loop import run_greedy_eval
 
 logger = logging.getLogger(__name__)
 
@@ -48,18 +49,9 @@ def main():
         raise SystemExit(f"checkpoint not found: {args.checkpoint}")
     os.makedirs(args.output_dir, exist_ok=True)
 
-    if args.torch_checkpoint:
-        from svpc_tpu.model.load_reference import import_reference_checkpoint
-        cfg, model, eval_params = import_reference_checkpoint(
-            args.checkpoint, cfg)
-        ds = CaptionDataset(cfg, args.split, lazy_features=True)
-    else:
-        ds = CaptionDataset(cfg, args.split, lazy_features=True)
-        if len(ds) and len(ds) < cfg.train.val_batch_size:
-            cfg = cfg.replace_train(val_batch_size=len(ds))
-        sample, _ = next(iter(ds.batches(cfg.train.val_batch_size)))
-        model, state = restore_train_state(cfg, sample, args.checkpoint)
-        eval_params = state.eval_params()
+    cfg, model, eval_params, ds = load_eval_model(
+        cfg, args, lambda c: CaptionDataset(c, args.split,
+                                            lazy_features=True))
 
     submission = run_greedy_eval(
         model, eval_params, ds, cfg,

@@ -70,7 +70,7 @@ def build_ingredient_arrays(
     Mirrors clip_ingredient_to_feature (recursive_caption_dataset.py:239-281):
     OOV ingredient words get ids ``vocab_size + k`` in first-seen order; the
     per-entity id groups drive the copy distribution scatter.
-    """  # (see fill_features_from_ref below for the lazy feature path)
+    """
     tokens, mask, sep_mask = tok.tokenize_ingredients(ingredients, max_i_len)
     ids = vocab.encode(tokens)
 
