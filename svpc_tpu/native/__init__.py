@@ -62,6 +62,10 @@ def get_lib():
         ]
         lib.svpc_npy_rows.restype = ctypes.c_int64
         lib.svpc_npy_rows.argtypes = [ctypes.c_char_p]
+        lib.svpc_mmap_cache_clear.restype = None
+        lib.svpc_mmap_cache_clear.argtypes = []
+        lib.svpc_mmap_cache_enable.restype = None
+        lib.svpc_mmap_cache_enable.argtypes = [ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -89,6 +93,22 @@ def pack_video_native(resnet_path: str, bn_path: str, timestamps,
     if rc != 0:
         return None
     return out, valid
+
+
+def mmap_cache_clear() -> None:
+    """Drop the packer's persistent file mappings (waits for in-flight
+    packs).  Mappings rebuild lazily; use under memory pressure or after
+    replacing feature files on disk."""
+    lib = get_lib()
+    if lib is not None:
+        lib.svpc_mmap_cache_clear()
+
+
+def mmap_cache_enable(on: bool) -> None:
+    """Toggle the persistent mmap cache (on by default)."""
+    lib = get_lib()
+    if lib is not None:
+        lib.svpc_mmap_cache_enable(1 if on else 0)
 
 
 def pack_video_into(resnet_path: str, bn_path: str, timestamps,

@@ -270,11 +270,19 @@ def train(cfg: Config, workdir: str,
     from svpc_tpu.train.optim import training_rng
     rng = training_rng(cfg.train.seed, cfg.train.rng_impl)
 
-    # csv logs, same columns as the reference (train.py:370-372)
-    train_log = open(os.path.join(workdir, "train.log.csv"), "w")
-    valid_log = open(os.path.join(workdir, "valid.log.csv"), "w")
-    train_log.write("epoch,loss,ppl,accuracy\n")
-    valid_log.write("epoch,loss,ppl,accuracy,METEOR,BLEU@4,CIDEr,re4\n")
+    # csv logs, same columns as the reference (train.py:370-372); a
+    # resumed run in the same workdir appends instead of truncating
+    def open_log(name: str, header: str):
+        path = os.path.join(workdir, name)
+        append = bool(resume_from) and os.path.exists(path)
+        f = open(path, "a" if append else "w")
+        if not append:
+            f.write(header)
+        return f
+
+    train_log = open_log("train.log.csv", "epoch,loss,ppl,accuracy\n")
+    valid_log = open_log(
+        "valid.log.csv", "epoch,loss,ppl,accuracy,METEOR,BLEU@4,CIDEr,re4\n")
 
     ref_para_path = os.path.join(
         cfg.data.data_dir, "yc2_split_val_anet_format_para.json")
@@ -288,6 +296,18 @@ def train(cfg: Config, workdir: str,
     best_score = 0.0 if eval_language else None  # reference: CIDEr > 0 wins
     es_cnt = 0
     history = []
+    hist_path = os.path.join(workdir, "history.json")
+    if resume_from and os.path.exists(hist_path):
+        # resumed in the same workdir: keep the pre-resume epochs, and
+        # seed the best-checkpoint selection from them so a worse epoch
+        # after resume cannot overwrite checkpoint_best
+        with open(hist_path) as f:
+            history = [h for h in json.load(f) if h["epoch"] < start_epoch]
+        prev = [(h["lang"].get("CIDEr", -1.0) if eval_language
+                 else -h["val"]["loss_per_word"]) for h in history]
+        if prev:
+            best_score = max(prev)
+            best_cider = max(h["lang"].get("CIDEr", 0.0) for h in history)
     tb = TBWriter(workdir, tensorboard)
     profiled = False
     with precision_scope(cfg.model):

@@ -65,3 +65,35 @@ def test_lazy_valid_lengths_match_packer():
         Lv = cfg.model.max_v_len
         mask_valid = eager[i].arrays["input_mask"][:n, :Lv].sum(axis=-1)
         np.testing.assert_array_equal(ref["valid"] + 2, mask_valid)
+
+
+def test_mmap_cache_controls():
+    """Cache clear/enable round-trip: packing still works after clearing
+    and with the cache disabled (fresh mappings)."""
+    from svpc_tpu.native import (mmap_cache_clear, mmap_cache_enable,
+                                 pack_video_native, get_lib)
+    if get_lib() is None:
+        pytest.skip("native packer unavailable")
+    import numpy as np
+    names, feat_dir, dur_file = rb.setup_features(3)
+    import os, json
+    anns = json.load(open(os.path.join(
+        rb.REFERENCE_ROOT,
+        "densevid_eval/yc2_data/bosselut_split_yc2_val_anet_format.json")))
+    name = names[0]
+    from svpc_tpu.data.anet import load_durations
+    frm2sec = load_durations(dur_file)[name]
+    ts = np.asarray(anns[name]["timestamps"], np.float64)
+    args = (os.path.join(feat_dir, f"{name}_resnet.npy"),
+            os.path.join(feat_dir, f"{name}_bn.npy"), ts, frm2sec, 16, 16, 24)
+    a = pack_video_native(*args)
+    mmap_cache_clear()
+    b = pack_video_native(*args)
+    mmap_cache_enable(False)
+    try:
+        c = pack_video_native(*args)
+    finally:
+        mmap_cache_enable(True)
+    for other in (b, c):
+        np.testing.assert_array_equal(a[0], other[0])
+        np.testing.assert_array_equal(a[1], other[1])
