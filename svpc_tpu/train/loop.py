@@ -310,6 +310,9 @@ def train(cfg: Config, workdir: str,
             best_cider = max(h["lang"].get("CIDEr", 0.0) for h in history)
     tb = TBWriter(workdir, tensorboard)
     profiled = False
+    prof_active = False
+    prof_n = 0
+    global_step = 0  # steps seen this run (compile happens on step 0)
     with precision_scope(cfg.model):
         for epoch in range(start_epoch, cfg.train.n_epoch):
             t0 = time.time()
@@ -328,9 +331,13 @@ def train(cfg: Config, workdir: str,
             acc_grads = None
             n_micro = 0
             for i, (batch, _) in enumerate(batch_iter):
-                if profile_steps and not profiled and epoch == 0 and i == 1:
-                    # skip step 0 (compile); trace a few steady-state steps
+                if profile_steps and not profiled and not prof_active \
+                        and global_step >= 1:
+                    # skip the compile step; trace wherever the first
+                    # steady-state step falls (a 1-batch epoch means the
+                    # trace starts in epoch 1, not never)
                     jax.profiler.start_trace(os.path.join(workdir, "profile"))
+                    prof_active = True
                 if accum == 1:
                     state, m = train_step(state, batch, rng)
                 else:
@@ -346,8 +353,10 @@ def train(cfg: Config, workdir: str,
                         acc_grads, n_micro = None, 0
                         opt_step += 1
                 metrics.append(m)
-                if profile_steps and not profiled and epoch == 0 \
-                        and i == profile_steps:
+                global_step += 1
+                if prof_active and not profiled:
+                    prof_n += 1
+                if prof_active and not profiled and prof_n >= profile_steps:
                     jax.tree.map(lambda x: x.block_until_ready(), m)
                     jax.profiler.stop_trace()
                     profiled = True
