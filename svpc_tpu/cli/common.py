@@ -150,17 +150,15 @@ def load_eval_model(cfg: Config, args, make_ds):
     after any geometry override.  Shared by evaluate / dump_memories /
     caption (the same torch-vs-orbax branch used to be triplicated).
     """
-    if getattr(args, "torch_checkpoint", False):
+    torch_ckpt = getattr(args, "torch_checkpoint", False)
+    if torch_ckpt:
         from svpc_tpu.model.load_reference import import_reference_checkpoint
         cfg, model, eval_params = import_reference_checkpoint(
             args.checkpoint, cfg)
-        ds = make_ds(cfg)
-        if len(ds) and len(ds) < cfg.train.val_batch_size:
-            cfg = cfg.replace_train(val_batch_size=len(ds))
-    else:
-        ds = make_ds(cfg)
-        if len(ds) and len(ds) < cfg.train.val_batch_size:
-            cfg = cfg.replace_train(val_batch_size=len(ds))
+    ds = make_ds(cfg)
+    if len(ds) and len(ds) < cfg.train.val_batch_size:
+        cfg = cfg.replace_train(val_batch_size=len(ds))
+    if not torch_ckpt:
         sample, _ = next(iter(ds.batches(cfg.train.val_batch_size)))
         from svpc_tpu.train.loop import restore_train_state
         model, state = restore_train_state(cfg, sample, args.checkpoint)

@@ -29,7 +29,12 @@ def convert_tree(input_dir: str, output_dir: str,
     """Convert every .npy under input_dir (recursively, preserving the
     training/validation layout); returns the number of files written."""
     n = 0
-    for root, _, files in os.walk(input_dir):
+    out_abs = os.path.abspath(output_dir)
+    for root, dirs, files in os.walk(input_dir):
+        # never descend into the output tree (an output_dir nested inside
+        # input_dir would otherwise be re-converted recursively)
+        dirs[:] = [d for d in dirs
+                   if os.path.abspath(os.path.join(root, d)) != out_abs]
         rel = os.path.relpath(root, input_dir)
         dst_root = os.path.join(output_dir, rel) if rel != "." else output_dir
         for fn in sorted(files):

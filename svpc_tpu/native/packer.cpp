@@ -182,27 +182,55 @@ void close_npy(NpyArray& a) {
 std::mutex g_cache_mu;
 std::unordered_map<std::string, NpyArray> g_cache;
 std::atomic<bool> g_cache_enabled{true};
-// packs currently copying from cached mappings; svpc_mmap_cache_clear
-// waits for this to drain so it never munmaps under an active memcpy
-std::atomic<int64_t> g_inflight{0};
+// clear() in progress: acquire_npy must not hand out (or insert) cached
+// mappings while set, independent of g_cache_enabled — so a concurrent
+// svpc_mmap_cache_enable(1) cannot defeat the drain
+std::atomic<bool> g_clear_pending{false};
+// outstanding *cached* references (incremented under g_cache_mu at
+// hand-out); clear() waits for this to drain so it never munmaps under
+// an active memcpy.  Owned (non-cached) mappings don't count, so
+// continuous packing cannot livelock the drain.
+std::atomic<int64_t> g_cached_refs{0};
 
-// (array, owned_by_caller) — caller close()s only when owned
+bool cache_usable() {
+  return g_cache_enabled.load() && !g_clear_pending.load();
+}
+
+// (array, owned_by_caller) — caller close()s only when owned; a cached
+// (non-owned) return holds one g_cached_refs reference the caller must
+// release.
 std::pair<NpyArray, bool> acquire_npy(const char* path) {
-  if (!g_cache_enabled.load()) return {open_npy(path), true};
+  if (!cache_usable()) return {open_npy(path), true};
   {
     std::lock_guard<std::mutex> lk(g_cache_mu);
-    auto it = g_cache.find(path);
-    if (it != g_cache.end()) return {it->second, false};
+    if (cache_usable()) {
+      auto it = g_cache.find(path);
+      if (it != g_cache.end()) {
+        g_cached_refs.fetch_add(1);
+        return {it->second, false};
+      }
+    }
   }
   NpyArray a = open_npy(path);
   if (!a.ok) return {a, true};
   std::lock_guard<std::mutex> lk(g_cache_mu);
+  if (!cache_usable()) return {a, true};  // clear started meanwhile
   auto ins = g_cache.emplace(path, a);
   if (!ins.second) {  // lost a race; keep the incumbent mapping
     close_npy(a);
+    g_cached_refs.fetch_add(1);
     return {ins.first->second, false};
   }
+  g_cached_refs.fetch_add(1);
   return {a, false};
+}
+
+void release_npy(NpyArray& a, bool owned) {
+  if (owned) {
+    close_npy(a);
+  } else {
+    g_cached_refs.fetch_sub(1);
+  }
 }
 
 // timestamp -> inclusive feature span (recursive_caption_dataset.py:379-387)
@@ -230,13 +258,11 @@ int svpc_pack_video(const char* resnet_path, const char* bn_path,
                     int64_t n_clips, double frm2sec, int64_t max_v_len,
                     int64_t total_len, float* out, int64_t* valid_lens,
                     int64_t n_threads) {
-  g_inflight.fetch_add(1);
   auto [resnet, own_r] = acquire_npy(resnet_path);
   auto [bn, own_b] = acquire_npy(bn_path);
   auto release = [&]() {
-    if (own_r) close_npy(resnet);
-    if (own_b) close_npy(bn);
-    g_inflight.fetch_sub(1);
+    release_npy(resnet, own_r);
+    release_npy(bn, own_b);
   };
   if (!resnet.ok || !bn.ok) {
     release();
@@ -295,20 +321,26 @@ int svpc_pack_video(const char* resnet_path, const char* bn_path,
   return 0;
 }
 
-// Drop every cached mapping (tests / memory pressure).  Disables the
-// cache for the drain window so no new cached reference can be handed
-// out, then waits for in-flight packs before unmapping.
+// Drop every cached mapping (tests / memory pressure / replaced files).
+// Sets the clear-pending flag (which blocks new cached hand-outs even if
+// svpc_mmap_cache_enable(1) races in), waits for outstanding cached
+// references to drain — owned mappings don't block the drain — then
+// unmaps.  Safe to call concurrently with itself.
 void svpc_mmap_cache_clear() {
-  const bool was_enabled = g_cache_enabled.exchange(false);
-  while (g_inflight.load() > 0) {
+  g_clear_pending.store(true);
+  for (;;) {
+    {
+      std::lock_guard<std::mutex> lk(g_cache_mu);
+      if (g_cached_refs.load() == 0) {
+        for (auto& kv : g_cache) close_npy(kv.second);
+        g_cache.clear();
+        break;
+      }
+    }
+    // wait for outstanding copies with the lock released
     std::this_thread::sleep_for(std::chrono::milliseconds(1));
   }
-  {
-    std::lock_guard<std::mutex> lk(g_cache_mu);
-    for (auto& kv : g_cache) close_npy(kv.second);
-    g_cache.clear();
-  }
-  g_cache_enabled.store(was_enabled);
+  g_clear_pending.store(false);
 }
 
 // Toggle the mmap cache (on by default).

@@ -274,10 +274,20 @@ def train(cfg: Config, workdir: str,
     # resumed run in the same workdir appends instead of truncating
     def open_log(name: str, header: str):
         path = os.path.join(workdir, name)
-        append = bool(resume_from) and os.path.exists(path)
-        f = open(path, "a" if append else "w")
-        if not append:
-            f.write(header)
+        if bool(resume_from) and os.path.exists(path):
+            # keep only pre-resume rows so a re-run epoch is not logged
+            # twice with conflicting values
+            with open(path) as f:
+                lines = f.readlines()
+            kept = [ln for ln in lines[1:]
+                    if ln.split(",", 1)[0].isdigit()
+                    and int(ln.split(",", 1)[0]) < start_epoch]
+            f = open(path, "w")
+            f.write(lines[0] if lines else header)
+            f.writelines(kept)
+            return f
+        f = open(path, "w")
+        f.write(header)
         return f
 
     train_log = open_log("train.log.csv", "epoch,loss,ppl,accuracy\n")
@@ -306,8 +316,22 @@ def train(cfg: Config, workdir: str,
         prev = [(h["lang"].get("CIDEr", -1.0) if eval_language
                  else -h["val"]["loss_per_word"]) for h in history]
         if prev:
-            best_score = max(prev)
+            if eval_language:
+                # never below the fresh-run floor ("CIDEr > 0 wins"),
+                # e.g. when prior epochs ran with --no_language_eval
+                best_score = max(0.0, max(prev))
+            else:
+                best_score = max(prev)
             best_cider = max(h["lang"].get("CIDEr", 0.0) for h in history)
+            # replay the early-stop counter: consecutive non-improving
+            # epochs at the end of the prior run (same comparison the
+            # live loop uses, including the CIDEr>0 floor)
+            running = 0.0 if eval_language else None
+            for s in prev:
+                if running is None or s > running:
+                    running, es_cnt = s, 0
+                else:
+                    es_cnt += 1
     tb = TBWriter(workdir, tensorboard)
     profiled = False
     prof_active = False
@@ -367,6 +391,14 @@ def train(cfg: Config, workdir: str,
                 # flush a partial accumulation group at epoch end
                 state, _ = apply_step(state, acc_grads)
                 opt_step += 1
+            if prof_active and not profiled:
+                # fewer steps remained than requested: finalize the trace
+                # with whatever was captured rather than losing it
+                jax.profiler.stop_trace()
+                profiled = True
+                logger.info("profiler trace written to %s/profile (%d of "
+                            "%d requested steps)", workdir, prof_n,
+                            profile_steps)
             train_m = aggregate_metrics(jax.device_get(metrics))
             niter = int(state.step)
             tb.scalar("Train/Loss", train_m["loss_per_word"], niter)

@@ -72,3 +72,39 @@ def test_run_greedy_eval_packed_matches_dense():
                                 cfg.replace_train(pack_clips=False))
     assert sub_packed == sub_dense
     assert len(sub_packed["results"]) == len(ds)
+
+
+def test_resume_same_workdir_preserves_logs_and_best(tmp_path):
+    """Resume fixes: CSV rows stay unique per epoch, history is
+    continuous, and the early-stop counter / best score survive."""
+    names, feat_dir, dur_file = rb.setup_features(3)
+    cfg, _ = rb.build_ours("copy", feat_dir, dur_file)
+    cfg = cfg.replace_train(batch_size=2, val_batch_size=2, n_epoch=2,
+                            max_es_cnt=10)
+    from svpc_tpu.train import loop as loop_mod
+    from svpc_tpu.data.pipeline import CaptionDataset
+
+    orig_init = CaptionDataset.__init__
+
+    def patched_init(self, c, split, **kw):
+        orig_init(self, c, "val", **kw)
+        self.split = split
+
+    CaptionDataset.__init__ = patched_init
+    try:
+        loop_mod.train(cfg, str(tmp_path), max_steps_per_epoch=2,
+                       eval_language=False, tensorboard=False)
+        cfg2 = cfg.replace_train(n_epoch=4)
+        result = loop_mod.train(
+            cfg2, str(tmp_path), max_steps_per_epoch=2,
+            eval_language=False, tensorboard=False,
+            resume_from=str(tmp_path / "checkpoint_last"))
+    finally:
+        CaptionDataset.__init__ = orig_init
+
+    rows = open(tmp_path / "valid.log.csv").read().strip().splitlines()
+    epochs = [int(r.split(",")[0]) for r in rows[1:]]
+    assert epochs == [0, 1, 2, 3], epochs  # appended, no duplicates
+    hist = json.load(open(tmp_path / "history.json"))
+    assert [h["epoch"] for h in hist] == [0, 1, 2, 3]
+    assert len(result["history"]) == 4

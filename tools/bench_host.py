@@ -68,6 +68,9 @@ def main():
             if nb == args.n_batches:
                 break
         dt = time.time() - t0
+        if not nb:
+            raise SystemExit("no batches produced — do the feature files "
+                             "match the split's video names?")
         print(f"pass {rep}: {nc / dt:.0f} clips/s host, "
               f"{dt / nb * 1e3:.0f} ms/batch")
 
