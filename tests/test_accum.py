@@ -84,3 +84,42 @@ def test_accumulated_step_matches_big_batch():
                     jax.tree.leaves(state_b.ema_shadow)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=1e-7)
+
+
+def test_accumulation_under_dp_mesh():
+    """Accumulated gradients on a dp=8 mesh equal the single-device
+    big-batch gradient (composition of the two exactness properties)."""
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.config import tiny_test_config
+    from svpc_tpu.data.synthetic import synthetic_batch
+    from svpc_tpu.model import SVPCModel
+    from svpc_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from svpc_tpu.train.step import make_grad_step, tree_add
+
+    assert len(jax.devices()) >= 8
+    cfg = _zero_dropout(tiny_test_config("copy"))
+    model = SVPCModel(cfg.model)
+    b1 = synthetic_batch(cfg, batch_size=8, seed=0)
+    b2 = synthetic_batch(cfg, batch_size=8, seed=1)
+    big = {k: jnp.asarray(v) for k, v in _concat(b1, b2).items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    params = model.init(rngs, big, deterministic=True)
+
+    g_big = jax.grad(
+        lambda p: model.apply({"params": p}, big, deterministic=True,
+                              rngs={"gumbel": jax.random.PRNGKey(3)}
+                              ).total_loss)(params["params"])
+
+    mesh = make_mesh(dp_size=8)
+    params_r = replicate(mesh, params)
+    grad_step = jax.jit(make_grad_step(model, cfg))
+    rng = jax.random.PRNGKey(7)
+    g1, _ = grad_step(params_r["params"], shard_batch(mesh, b1), rng)
+    g2, _ = grad_step(params_r["params"], shard_batch(mesh, b2), rng)
+    g_acc = jax.jit(tree_add)(g1, g2)
+    for a, b in zip(jax.tree.leaves(g_acc), jax.tree.leaves(g_big)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
