@@ -26,8 +26,14 @@ NEG = -1e9
 
 
 def beam_decode(model, params, batch, beam_size: int = 2,
-                length_penalty: float = 0.0) -> jnp.ndarray:
-    """Returns extended token ids (B, S, T) of the best beam."""
+                length_penalty: float = 0.0,
+                use_cache: bool = True) -> jnp.ndarray:
+    """Returns extended token ids (B, S, T) of the best beam.
+
+    ``use_cache=True`` scores each position incrementally with per-layer
+    KV caches (O(T) decoder work like the greedy path) — caches are
+    gathered alongside the beams on every top-k reorder, bit-identical
+    to the full re-run (tests/test_beam.py)."""
     cfg: ModelConfig = model.cfg
     B, S, L = batch["input_ids"].shape
     T, V, C = cfg.max_t_len, cfg.vocab_size, cfg.extended_vocab_size
@@ -62,8 +68,13 @@ def beam_decode(model, params, batch, beam_size: int = 2,
     finished0 = jnp.zeros((B, K, S), bool)
     lengths0 = jnp.zeros((B, K, S), jnp.float32)
 
+    caches0 = (model.apply(params, (B * K, S),
+                           method=type(model).init_decode_caches)
+               if use_cache else None)
+
     def step(carry, t):
-        text_ids, ext_ids, mask, scores, next_sym, oov_next, finished, lengths = carry
+        (text_ids, ext_ids, mask, scores, next_sym, oov_next, finished,
+         lengths, caches) = carry
         text_ids = jax.lax.dynamic_update_index_in_dim(
             text_ids, next_sym, t, axis=3)
         ext_ids = jax.lax.dynamic_update_index_in_dim(
@@ -71,10 +82,17 @@ def beam_decode(model, params, batch, beam_size: int = 2,
         mask = jax.lax.dynamic_update_index_in_dim(
             mask, jnp.ones((B, K, S), jnp.float32), t, axis=3)
 
-        flat_ids = text_ids.reshape(B * K, S, T)
-        flat_mask = mask.reshape(B * K, S, T)
-        probs = model.apply(params, beam_batch, beam_state, flat_ids,
-                            flat_mask, t, method=type(model).score_position)
+        if use_cache:
+            probs, caches = model.apply(
+                params, beam_batch, beam_state,
+                next_sym.reshape(B * K, S), t, caches,
+                method=type(model).score_position_cached)
+        else:
+            flat_ids = text_ids.reshape(B * K, S, T)
+            flat_mask = mask.reshape(B * K, S, T)
+            probs = model.apply(params, beam_batch, beam_state, flat_ids,
+                                flat_mask, t,
+                                method=type(model).score_position)
         logp = jnp.log(probs.reshape(B, K, S, C) + 1e-12)
         logp = jnp.where(col_ok, logp, NEG)
 
@@ -102,6 +120,15 @@ def beam_decode(model, params, batch, beam_size: int = 2,
         ext_ids = gather_beams(ext_ids)
         finished = jnp.take_along_axis(finished, src_beam, axis=1)
         lengths = jnp.take_along_axis(lengths, src_beam, axis=1)
+        if use_cache:
+            # a reordered beam inherits its source beam's KV history
+            def gather_cache(c):
+                # cache rows are flattened (B*K*S, ...) in (b, k, s) order
+                x = c.reshape((B, K, S) + c.shape[1:])
+                idx = src_beam.reshape(src_beam.shape + (1,) * (x.ndim - 3))
+                return jnp.take_along_axis(x, idx, axis=1).reshape(c.shape)
+
+            caches = jax.tree.map(gather_cache, caches)
 
         new_finished = finished | (token == tok.EOS)
         lengths = jnp.where(finished, lengths, lengths + 1.0)
@@ -109,11 +136,11 @@ def beam_decode(model, params, batch, beam_size: int = 2,
         next2 = jnp.where(token >= V, tok.UNK, token)
 
         return (text_ids, ext_ids, mask, top_scores, next2, oov_next2,
-                new_finished, lengths), None
+                new_finished, lengths, caches), None
 
     carry0 = (text_ids0, ext_ids0, mask0, scores0, next0, next0,
-              finished0, lengths0)
-    (text_ids, ext_ids, _, scores, _, _, _, lengths), _ = jax.lax.scan(
+              finished0, lengths0, caches0)
+    (text_ids, ext_ids, _, scores, _, _, _, lengths, _), _ = jax.lax.scan(
         step, carry0, jnp.arange(T, dtype=jnp.int32))
 
     if length_penalty > 0:

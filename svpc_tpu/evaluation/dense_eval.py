@@ -44,22 +44,33 @@ def evaluate_dense_captions(
     for t in tiou_thresholds:
         gts, res = {}, {}
         idx = 0
-        n_matched, n_gt, n_pred = 0, 0, 0
+        vid_recalls, vid_precisions = [], []
         for vid, preds in predictions.items():
             if vid not in references:
                 continue
             ref = references[vid]
-            n_gt += len(ref["sentences"])
-            n_pred += len(preds)
+            # reference semantics (evaluate.py:145-153): recall = covered
+            # GT segments / GT count, precision = covered predictions /
+            # prediction count, each per video then averaged — a pile of
+            # predictions on one GT segment cannot inflate recall
+            gt_covered: set = set()
+            pred_covered = 0
             for p in preds:
-                matches = [s for ts, s in zip(ref["timestamps"],
-                                              ref["sentences"])
-                           if tiou(p["timestamp"], ts) >= t]
+                matches = []
+                for ri, (ts, s) in enumerate(zip(ref["timestamps"],
+                                                 ref["sentences"])):
+                    if tiou(p["timestamp"], ts) >= t:
+                        gt_covered.add(ri)
+                        matches.append(s)
                 if matches:
-                    n_matched += 1
+                    pred_covered += 1
                     gts[idx] = [" ".join(parse_sent(m)) for m in matches]
                     res[idx] = [" ".join(parse_sent(p["sentence"]))]
                     idx += 1
+            if ref["sentences"]:
+                vid_recalls.append(len(gt_covered) / len(ref["sentences"]))
+            if preds:
+                vid_precisions.append(pred_covered / len(preds))
         if not gts:
             per_t_scores.append({"Bleu_4": 0.0, "ROUGE_L": 0.0, "CIDEr": 0.0})
             recalls.append(0.0)
@@ -70,8 +81,9 @@ def evaluate_dense_captions(
         cider, _ = compute_cider_d(gts, res)
         per_t_scores.append(
             {"Bleu_4": bleu[3], "ROUGE_L": rouge, "CIDEr": cider})
-        recalls.append(n_matched / n_gt if n_gt else 0.0)
-        precisions.append(n_matched / n_pred if n_pred else 0.0)
+        recalls.append(float(np.mean(vid_recalls)) if vid_recalls else 0.0)
+        precisions.append(
+            float(np.mean(vid_precisions)) if vid_precisions else 0.0)
 
     for key in ("Bleu_4", "ROUGE_L", "CIDEr"):
         out[key] = float(np.mean([s[key] for s in per_t_scores]))

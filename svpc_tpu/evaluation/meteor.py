@@ -65,16 +65,17 @@ class JarMeteor:
         return self.proc.stdout.readline().strip()
 
 
-def _porter_stem(word: str) -> str:
-    from nltk.stem.porter import PorterStemmer
-    return _STEMMER.stem(word)
-
-
 try:
     from nltk.stem.porter import PorterStemmer
     _STEMMER = PorterStemmer()
 except Exception:  # pragma: no cover
     _STEMMER = None
+
+
+def _porter_stem(word: str) -> str:
+    # without nltk the stem stage degrades to exact matching (the
+    # approximation is already labeled non-identical); never crash eval
+    return _STEMMER.stem(word) if _STEMMER is not None else word
 
 
 def _align(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
@@ -133,13 +134,24 @@ def approximate_meteor(gts: Dict, res: Dict,
 
 
 def compute_meteor(gts: Dict, res: Dict) -> Tuple[float, List[float], str]:
-    """Returns (score, per-id, backend)."""
+    """Returns (score, per-id, backend).
+
+    A broken jar setup (jar present but its data/ missing, java dying
+    mid-protocol, non-numeric output) falls back to the python
+    approximation instead of aborting the whole eval."""
     if jar_available():
-        scorer = JarMeteor()
+        scorer = None
         try:
+            scorer = JarMeteor()
             score, scores = scorer.compute_score(gts, res)
             return score, scores, "meteor-1.5.jar"
+        except (ValueError, OSError, BrokenPipeError) as e:
+            import logging
+            logging.getLogger(__name__).warning(
+                "meteor jar failed (%s); using python approximation", e)
         finally:
-            scorer.proc.kill()
+            if scorer is not None:
+                scorer.proc.kill()
+                scorer.proc.wait()
     score, scores = approximate_meteor(gts, res)
     return score, scores, "python-approximation"

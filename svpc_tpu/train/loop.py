@@ -153,14 +153,23 @@ def restore_train_state(cfg: Config, sample_batch, checkpoint_path: str):
     return model, load_checkpoint(checkpoint_path, state)
 
 
-def run_greedy_eval(model, params, dataset: CaptionDataset, cfg: Config,
-                    mesh=None, max_batches: Optional[int] = None,
-                    beam_size: int = 0) -> dict:
-    """Decode a whole dataset into a submission dict (greedy by default;
-    ``beam_size>1`` uses batched beam search)."""
-    # don't compile shapes bigger than the dataset (a 4-video run with the
-    # default val_batch_size=50 would pad 12x and compile a huge program)
-    eff_bs = max(1, min(cfg.train.val_batch_size, len(dataset)))
+def eval_batch_size(cfg: Config, dataset_len: int, mesh=None) -> int:
+    """Effective decode batch size: no bigger than the dataset (a 4-video
+    run with the default 50 would pad 12x and compile a huge program),
+    rounded up to a dp-mesh multiple so shard_batch can split it (the
+    pipeline pads every batch to this size)."""
+    eff = max(1, min(cfg.train.val_batch_size, dataset_len))
+    if mesh is not None:
+        dp = mesh.shape.get("dp", 1)
+        eff = ((eff + dp - 1) // dp) * dp
+    return eff
+
+
+def make_eval_decoder(model, cfg: Config, dataset: CaptionDataset,
+                      mesh=None, beam_size: int = 0):
+    """Build the jitted decode fn + packing builder ONCE — per-epoch eval
+    reuses the compiled program instead of retracing every call."""
+    eff_bs = eval_batch_size(cfg, len(dataset), mesh)
     cfg = cfg.replace_train(val_batch_size=eff_bs)
     if beam_size and beam_size > 1:
         from svpc_tpu.decode.beam import beam_decode
@@ -171,17 +180,30 @@ def run_greedy_eval(model, params, dataset: CaptionDataset, cfg: Config,
         jit_decode = jax.jit(
             lambda p, b: greedy_decode(model, p, b))
         builder = eval_packing_builder(cfg, mesh, dataset, eff_bs)
-    transform = cast_transform(cfg)
+    return dict(cfg=cfg, jit=jit_decode, builder=builder,
+                transform=cast_transform(cfg), mesh=mesh)
+
+
+def run_greedy_eval(model, params, dataset: CaptionDataset, cfg: Config,
+                    mesh=None, max_batches: Optional[int] = None,
+                    beam_size: int = 0, decoder=None) -> dict:
+    """Decode a whole dataset into a submission dict (greedy by default;
+    ``beam_size>1`` uses batched beam search).  Pass ``decoder`` from
+    ``make_eval_decoder`` to reuse one compiled program across calls."""
+    if decoder is None:
+        decoder = make_eval_decoder(model, cfg, dataset, mesh, beam_size)
+    cfg = decoder["cfg"]
     results = None
     n = 0
     with precision_scope(cfg.model):
         for batch, metas in dataset.batches(cfg.train.val_batch_size,
-                                            shuffle=False, builder=builder):
-            if transform is not None:
-                batch = transform(batch)
-            if mesh is not None:
-                batch = shard_batch(mesh, batch)
-            ids = np.asarray(jit_decode(params, batch))
+                                            shuffle=False,
+                                            builder=decoder["builder"]):
+            if decoder["transform"] is not None:
+                batch = decoder["transform"](batch)
+            if decoder["mesh"] is not None:
+                batch = shard_batch(decoder["mesh"], batch)
+            ids = np.asarray(decoder["jit"](params, batch))
             sentences = batch_to_sentences(ids, metas, dataset.vocab)
             results = collect_results(sentences, metas, results)
             n += 1
@@ -229,11 +251,13 @@ def train(cfg: Config, workdir: str,
     train_ds = CaptionDataset(cfg, "train", lazy_features=True)
     val_ds = CaptionDataset(cfg, "val", lazy_features=True)
     logger.info("train videos: %d, val videos: %d", len(train_ds), len(val_ds))
-    if len(val_ds) and len(val_ds) < cfg.train.val_batch_size:
-        cfg = cfg.replace_train(val_batch_size=len(val_ds))
-
     mesh = make_mesh(cfg.train.dp_size, cfg.train.tp_size) \
         if cfg.train.dp_size > 1 else None
+    if len(val_ds):
+        # cap at the dataset size, rounded to a dp-mesh multiple so the
+        # padded eval batches shard cleanly
+        cfg = cfg.replace_train(
+            val_batch_size=eval_batch_size(cfg, len(val_ds), mesh))
 
     sample_batch, _ = next(iter(train_ds.batches(cfg.train.batch_size)))
     model, params = init_model(cfg, sample_batch)
@@ -300,6 +324,9 @@ def train(cfg: Config, workdir: str,
     val_builder = eval_packing_builder(
         cfg, mesh, val_ds, cfg.train.val_batch_size) if len(val_ds) else None
     feat_cast = cast_transform(cfg)
+    # one compiled decode program reused across every epoch's greedy eval
+    eval_decoder = (make_eval_decoder(model, cfg, val_ds, mesh)
+                    if eval_language and len(val_ds) else None)
 
     opt_step = int(state.step)  # host-side mirror (accum rng folding)
     best_cider = 0.0
@@ -381,7 +408,9 @@ def train(cfg: Config, workdir: str,
                 if prof_active and not profiled:
                     prof_n += 1
                 if prof_active and not profiled and prof_n >= profile_steps:
-                    jax.tree.map(lambda x: x.block_until_ready(), m)
+                    # sync by host transfer: block_until_ready is a no-op
+                    # on the axon TPU tunnel (CLAUDE.md)
+                    float(jax.device_get(m["loss"]))
                     jax.profiler.stop_trace()
                     profiled = True
                     logger.info("profiler trace written to %s/profile", workdir)
@@ -433,7 +462,8 @@ def train(cfg: Config, workdir: str,
             if eval_language:
                 submission = run_greedy_eval(
                     model, eval_params, val_ds, cfg, mesh,
-                    max_batches=max_steps_per_epoch)
+                    max_batches=max_steps_per_epoch,
+                    decoder=eval_decoder)
                 sub_path = os.path.join(
                     workdir, f"greedy_pred_val_epoch{epoch}.json")
                 with open(sub_path, "w") as f:
@@ -476,6 +506,10 @@ def train(cfg: Config, workdir: str,
             state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
             save_checkpoint(workdir, jax.device_get(state), cfg,
                             name="checkpoint_last")
+            # history lands on disk with every checkpoint, so resuming a
+            # crashed run can seed best-score / early-stop state from it
+            with open(hist_path, "w") as f:
+                json.dump(history, f, indent=2)
             if cfg.train.save_mode == "all":
                 save_checkpoint(workdir, jax.device_get(state), cfg,
                                 name=f"checkpoint_e{epoch}")

@@ -70,3 +70,16 @@ def test_beam_scores_no_worse(setup):
     step_mask = np.asarray(batch["step_mask"])
     assert ((lp_b - lp_g) * step_mask >= -1e-3).all(), (
         f"beam found lower-probability hypotheses:\n{lp_b - lp_g}")
+
+
+def test_beam_cached_equals_uncached(setup):
+    """KV-cached beam scoring (caches gathered on every reorder) must be
+    bit-identical to the full per-position re-run."""
+    from svpc_tpu.decode.beam import beam_decode
+    cfg, model, params, batch = setup
+    for k in (2, 3):
+        cached = np.asarray(beam_decode(model, params, batch,
+                                        beam_size=k, use_cache=True))
+        full = np.asarray(beam_decode(model, params, batch,
+                                      beam_size=k, use_cache=False))
+        np.testing.assert_array_equal(cached, full)
