@@ -119,3 +119,24 @@ def test_packed_dp_loss_matches_single_device():
     batch_s = shard_batch(mesh, packed_np)
     dp = float(jax.jit(loss_fn)(params_r, batch_s))
     np.testing.assert_allclose(dp, single, rtol=1e-5)
+
+
+def test_multihost_helper_single_process():
+    """shard_batch_multihost reduces to shard_batch on one process and
+    produces identically-valued, dp-sharded arrays."""
+    import jax
+    import numpy as np
+    from svpc_tpu.config import tiny_test_config
+    from svpc_tpu.data.synthetic import synthetic_batch
+    from svpc_tpu.parallel.mesh import (make_mesh, shard_batch,
+                                        shard_batch_multihost)
+
+    cfg = tiny_test_config("video")
+    batch_np = synthetic_batch(cfg, batch_size=8, seed=4)
+    mesh = make_mesh(dp_size=8)
+    a = shard_batch(mesh, batch_np)
+    b = shard_batch_multihost(mesh, batch_np)
+    assert jax.process_count() == 1
+    for k in batch_np:
+        assert a[k].sharding == b[k].sharding
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
