@@ -152,6 +152,11 @@ class TrainConfig:
     # accumulated gradient, i.e. to the effective batch.  The reference
     # has no equivalent (it steps every batch, train.py:140-143).
     grad_accum_steps: int = 1
+    # skip (don't apply) optimizer/EMA updates whose loss or gradient
+    # norm is nonfinite — a rare bf16 tail event would otherwise poison
+    # the parameters permanently through the clip.  The skipped count is
+    # reported per epoch.  No effect on finite steps (parity unchanged).
+    skip_nonfinite_updates: bool = True
     # parallelism
     dp_size: int = 1                # data-parallel mesh axis
     tp_size: int = 1                # tensor-parallel mesh axis (reserved)

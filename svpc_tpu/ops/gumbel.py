@@ -18,9 +18,16 @@ def gumbel_softmax_st(
     tau: float,
     axis: int = -1,
 ) -> jnp.ndarray:
-    """Hard one-hot sample with straight-through softmax gradients."""
-    g = jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
-    y_soft = jax.nn.softmax((logits + g) / tau, axis=axis)
+    """Hard one-hot sample with straight-through softmax gradients.
+
+    Noise and softmax run in float32 regardless of the activation dtype:
+    low-precision gumbel sampling (-log(-log(u)) on a coarse uniform
+    grid) and a low-precision softmax over noised logits are exactly the
+    kind of rare-tail numerics that can seed a NaN that then poisons the
+    whole parameter tree through the gradient clip."""
+    g = jax.random.gumbel(key, logits.shape, dtype=jnp.float32)
+    y_soft = jax.nn.softmax((logits.astype(jnp.float32) + g) / tau,
+                            axis=axis).astype(logits.dtype)
     index = jnp.argmax(y_soft, axis=axis)
     y_hard = jax.nn.one_hot(index, logits.shape[axis], dtype=logits.dtype, axis=axis)
     return y_hard + y_soft - jax.lax.stop_gradient(y_soft)

@@ -429,6 +429,11 @@ def train(cfg: Config, workdir: str,
                             "%d requested steps)", workdir, prof_n,
                             profile_steps)
             train_m = aggregate_metrics(jax.device_get(metrics))
+            if train_m.get("nonfinite_skipped"):
+                logger.warning(
+                    "[epoch %d] skipped %d nonfinite update(s) — params "
+                    "kept from the previous step", epoch,
+                    train_m["nonfinite_skipped"])
             niter = int(state.step)
             tb.scalar("Train/Loss", train_m["loss_per_word"], niter)
             tb.scalar("Train/Acc", train_m["acc"], niter)

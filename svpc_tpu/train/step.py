@@ -62,8 +62,15 @@ def batch_metrics(out, batch, cfg) -> Dict[str, jnp.ndarray]:
     return metrics
 
 
+def _select_finite(finite, new_tree, old_tree):
+    """new_tree where the step was finite, old_tree otherwise."""
+    return jax.tree.map(lambda n, o: jnp.where(finite, n, o),
+                        new_tree, old_tree)
+
+
 def make_train_step(model, tx: optax.GradientTransformation, cfg: Config):
     ema_decay = cfg.train.ema_decay
+    skip_nonfinite = cfg.train.skip_nonfinite_updates
 
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
         dropout_rng, gumbel_rng = jax.random.split(
@@ -87,7 +94,19 @@ def make_train_step(model, tx: optax.GradientTransformation, cfg: Config):
                 ema_decay)
 
         metrics = batch_metrics(out, batch, cfg)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        grad_norm = optax.global_norm(grads)
+        metrics["grad_norm"] = grad_norm
+        if skip_nonfinite:
+            # one nonfinite step (a rare bf16 tail event) must not poison
+            # the parameters forever: keep the old state and count it
+            finite = jnp.isfinite(out.total_loss) & jnp.isfinite(grad_norm)
+            new_params = _select_finite(finite, new_params,
+                                        state.params["params"])
+            new_opt = _select_finite(finite, new_opt, state.opt_state)
+            if new_shadow is not None:
+                new_shadow = _select_finite(finite, new_shadow,
+                                            state.ema_shadow)
+            metrics["nonfinite_skipped"] = (~finite).astype(jnp.int32)
         new_state = state.replace(
             params={"params": new_params}, opt_state=new_opt,
             ema_shadow=new_shadow, step=state.step + 1)
@@ -123,6 +142,7 @@ def make_grad_step(model, cfg: Config):
 def make_apply_step(tx: optax.GradientTransformation, cfg: Config):
     """Optimizer + EMA update from (accumulated) gradients."""
     ema_decay = cfg.train.ema_decay
+    skip_nonfinite = cfg.train.skip_nonfinite_updates
 
     def apply_step(state: TrainState, grads) -> Tuple[TrainState, jnp.ndarray]:
         updates, new_opt = tx.update(grads, state.opt_state,
@@ -133,10 +153,19 @@ def make_apply_step(tx: optax.GradientTransformation, cfg: Config):
             new_shadow = ema_update(
                 new_shadow, new_params, state.step.astype(jnp.float32),
                 ema_decay)
+        grad_norm = optax.global_norm(grads)
+        if skip_nonfinite:
+            finite = jnp.isfinite(grad_norm)
+            new_params = _select_finite(finite, new_params,
+                                        state.params["params"])
+            new_opt = _select_finite(finite, new_opt, state.opt_state)
+            if new_shadow is not None:
+                new_shadow = _select_finite(finite, new_shadow,
+                                            state.ema_shadow)
         new_state = state.replace(
             params={"params": new_params}, opt_state=new_opt,
             ema_shadow=new_shadow, step=state.step + 1)
-        return new_state, optax.global_norm(grads)
+        return new_state, grad_norm
 
     return apply_step
 
@@ -164,6 +193,7 @@ def aggregate_metrics(metric_list) -> Dict[str, float]:
     out = dict(
         loss_per_word=sums.get("loss", 0.0) / n_word,
         acc=sums.get("n_correct", 0.0) / n_word,
+        nonfinite_skipped=int(sums.get("nonfinite_skipped", 0)),
     )
 
     def f1(c, r, p):

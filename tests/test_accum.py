@@ -123,3 +123,67 @@ def test_accumulation_under_dp_mesh():
     for a, b in zip(jax.tree.leaves(g_acc), jax.tree.leaves(g_big)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_nonfinite_update_skipped():
+    """A step with nonfinite loss/grads must leave params, optimizer and
+    EMA state untouched (and be counted) instead of poisoning them."""
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.config import tiny_test_config
+    from svpc_tpu.data.synthetic import synthetic_batch
+    from svpc_tpu.model import SVPCModel
+    from svpc_tpu.train.optim import make_optimizer
+    from svpc_tpu.train.state import TrainState
+    from svpc_tpu.train.step import make_apply_step, make_train_step
+
+    cfg = _zero_dropout(tiny_test_config("copy"))
+    model = SVPCModel(cfg.model)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(cfg, batch_size=2, seed=0).items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    params = model.init(rngs, batch, deterministic=True)
+    tx = make_optimizer(cfg.train, steps_per_epoch=10)
+    rng = jax.random.PRNGKey(7)
+
+    # poison one parameter -> NaN loss and grads
+    bad = jax.tree_util.tree_map(lambda x: x, params)
+    leaves, treedef = jax.tree_util.tree_flatten(bad)
+    leaves[0] = jnp.full_like(leaves[0], jnp.nan)
+    bad = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    state = TrainState.create(bad, tx, use_ema=True)
+    train_step = jax.jit(make_train_step(model, tx, cfg))
+    new_state, m = train_step(state, batch, rng)
+    assert int(m["nonfinite_skipped"]) == 1
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.opt_state),
+                    jax.tree.leaves(new_state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(new_state.step) == 1  # step counter still advances
+
+    # apply_step skips NaN accumulated grads the same way
+    apply_step = jax.jit(make_apply_step(tx, cfg))
+    good_state = TrainState.create(params, tx, use_ema=True)
+    nan_grads = jax.tree.map(lambda x: jnp.full_like(x, jnp.nan),
+                             params["params"])
+    applied, gn = apply_step(good_state, nan_grads)
+    assert not bool(jnp.isfinite(gn))
+    for a, b in zip(jax.tree.leaves(good_state.params),
+                    jax.tree.leaves(applied.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a finite step still updates optimizer state (guard is a no-op when
+    # healthy; params themselves don't move at step 0 because the warmup
+    # schedule starts at lr multiplier 0)
+    start = TrainState.create(params, tx, use_ema=True)
+    healthy, m2 = train_step(start, batch, rng)
+    assert int(m2["nonfinite_skipped"]) == 0
+    diffs = [float(jnp.abs(a - b).max()) for a, b in
+             zip(jax.tree.leaves(healthy.opt_state),
+                 jax.tree.leaves(start.opt_state))]
+    assert max(diffs) > 0
