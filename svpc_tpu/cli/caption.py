@@ -65,6 +65,14 @@ def main(argv=None):
                 f"missing feature files for: {', '.join(ds.missing)} "
                 f"(need <vid>_resnet.npy + <vid>_bn.npy under "
                 f"{c.data.video_feature_dir})")
+        # a video with feature files but no duration-CSV row would
+        # otherwise die with a bare KeyError inside make_example
+        no_dur = [e["name"] for e in ds.data
+                  if ds.video_name(e["name"]) not in ds.frame_to_second]
+        if no_dur:
+            raise SystemExit(
+                f"no duration row for: {', '.join(no_dur)} in "
+                f"{c.data.duration_file}")
         return ds
 
     cfg, model, eval_params, ds = load_eval_model(cfg, args, make_ds)

@@ -156,7 +156,14 @@ def load_eval_model(cfg: Config, args, make_ds):
         cfg, model, eval_params = import_reference_checkpoint(
             args.checkpoint, cfg)
     ds = make_ds(cfg)
-    if len(ds) and len(ds) < cfg.train.val_batch_size:
+    if len(ds) == 0:
+        # e.g. every feature file missing — fail with the reason instead
+        # of an opaque StopIteration from the sample-batch draw below
+        missing = getattr(ds, "missing", [])
+        detail = (f" ({len(missing)} video(s) dropped for missing feature "
+                  f"files, e.g. {', '.join(missing[:5])})" if missing else "")
+        raise SystemExit(f"dataset is empty{detail}")
+    if len(ds) < cfg.train.val_batch_size:
         cfg = cfg.replace_train(val_batch_size=len(ds))
     if not torch_ckpt:
         sample, _ = next(iter(ds.batches(cfg.train.val_batch_size)))

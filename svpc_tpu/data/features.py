@@ -47,6 +47,17 @@ class FeatureStore:
             self._cache[video_name] = feat
         return feat
 
+    def invalidate(self) -> None:
+        """Drop every python-side cache (loaded arrays + header row
+        counts) AND the native packer's persistent mmaps.  Call after
+        replacing feature files on disk — otherwise stale row counts
+        could disagree with what the native fill re-reads (the packer
+        also hard-bounds its writes and errors on such a mismatch)."""
+        self._cache.clear()
+        self._rows.clear()
+        from svpc_tpu.native import mmap_cache_clear
+        mmap_cache_clear()
+
     def rows(self, video_name: str) -> int:
         """Feature row count from the .npy header alone (no data IO) —
         enough to compute every clip's valid length without touching the

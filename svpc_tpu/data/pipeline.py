@@ -34,10 +34,13 @@ Shapes (per example):
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from svpc_tpu import tokenization as tok
 from svpc_tpu.config import Config
@@ -64,12 +67,19 @@ Batch = Dict[str, np.ndarray]
 def build_ingredient_arrays(
     ingredients: Sequence[str], vocab: tok.Vocabulary,
     max_i_len: int, max_entities: int, max_oov: int, max_ingr_words: int,
+    strict: bool = True,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, int]]:
     """Tokenize ingredients; build OOV extension + pointer-gen scatter groups.
 
     Mirrors clip_ingredient_to_feature (recursive_caption_dataset.py:239-281):
     OOV ingredient words get ids ``vocab_size + k`` in first-seen order; the
     per-entity id groups drive the copy distribution scatter.
+
+    ``strict=True`` (annotated training/eval splits, where the budgets were
+    measured corpus-wide) raises on any budget overflow; ``strict=False``
+    (GT-free inference on user-supplied ingredient specs) truncates with a
+    warning instead — extra OOV words fall back to UNK, extra entities and
+    extra per-ingredient words are dropped.
     """
     tokens, mask, sep_mask = tok.tokenize_ingredients(ingredients, max_i_len)
     ids = vocab.encode(tokens)
@@ -77,10 +87,15 @@ def build_ingredient_arrays(
     vocab_size = len(vocab)
     oov_word_dict: Dict[str, int] = {}
     extended_ids: List[int] = []
+    oov_overflow = 0
     for i, wid in enumerate(ids):
         if wid == tok.UNK:
             word = tokens[i]
             if word not in oov_word_dict:
+                if not strict and len(oov_word_dict) >= max_oov:
+                    oov_overflow += 1
+                    extended_ids.append(tok.UNK)
+                    continue
                 oov_word_dict[word] = vocab_size + len(oov_word_dict)
             extended_ids.append(oov_word_dict[word])
         else:
@@ -89,6 +104,10 @@ def build_ingredient_arrays(
         raise ValueError(
             f"example has {len(oov_word_dict)} OOV ingredient words "
             f"> max_oov={max_oov}")
+    if oov_overflow:
+        logger.warning(
+            "ingredient spec has %d OOV word(s) beyond max_oov=%d; the "
+            "extras stay [UNK] (not copyable)", oov_overflow, max_oov)
 
     # entity groups: ids between consecutive [SEP]s, stop at first [PAD]
     groups: List[List[int]] = []
@@ -109,16 +128,27 @@ def build_ingredient_arrays(
 
     n_entities = int(np.sum(sep_mask))
     if n_entities > max_entities:
-        raise ValueError(
-            f"example has {n_entities} entities > max_entities={max_entities}")
+        if strict:
+            raise ValueError(
+                f"example has {n_entities} entities > "
+                f"max_entities={max_entities}")
+        logger.warning(
+            "ingredient spec has %d entities > max_entities=%d; keeping "
+            "the first %d", n_entities, max_entities, max_entities)
+        n_entities = max_entities
 
     copy_ids = np.zeros((max_entities, max_ingr_words), dtype=np.int32)
     copy_weights = np.zeros((max_entities, max_ingr_words), dtype=np.float32)
     for e, group in enumerate(groups[:max_entities]):
         if len(group) > max_ingr_words:
-            raise ValueError(
-                f"ingredient group of {len(group)} words > "
-                f"max_ingr_words={max_ingr_words}")
+            if strict:
+                raise ValueError(
+                    f"ingredient group of {len(group)} words > "
+                    f"max_ingr_words={max_ingr_words}")
+            logger.warning(
+                "ingredient group of %d words truncated to "
+                "max_ingr_words=%d", len(group), max_ingr_words)
+            group = group[:max_ingr_words]
         for k, eid in enumerate(group):
             copy_ids[e, k] = eid
             copy_weights[e, k] = 1.0 / len(group)
@@ -245,7 +275,10 @@ class CaptionDataset:
             d.duration_file, d.dset_name, d.sampling_sec)
         # ``entries`` bypasses the split files: caption new videos from a
         # user spec (cli/caption.py) — the reference has no GT-free
-        # inference path (its dataset requires sentences)
+        # inference path (its dataset requires sentences).  Annotated
+        # splits keep strict ingredient budgets (measured corpus-wide);
+        # user specs truncate-with-warning instead of crashing.
+        self._strict_budgets = entries is None
         data = (entries if entries is not None
                 else load_annotations(d.data_dir, split, self.num_steps))
         # anet names carry a "v_" prefix stripped for feature files
@@ -286,7 +319,8 @@ class CaptionDataset:
 
         ingr_arrays, ingr_meta = build_ingredient_arrays(
             entry["ingredients"], self.vocab, m.max_i_len,
-            m.max_entities, m.max_oov, m.max_ingr_words)
+            m.max_entities, m.max_oov, m.max_ingr_words,
+            strict=self._strict_budgets)
         oov_word_dict = ingr_meta["oov_word_dict"]
 
         n_sen = len(entry["sentences"])

@@ -45,21 +45,21 @@ def evaluate_dense_captions(
         gts, res = {}, {}
         idx = 0
         vid_recalls, vid_precisions = [], []
-        for vid, preds in predictions.items():
-            if vid not in references:
-                continue
-            ref = references[vid]
-            # reference semantics (evaluate.py:145-153): recall = covered
-            # GT segments / GT count, precision = covered predictions /
-            # prediction count, each per video then averaged — a pile of
-            # predictions on one GT segment cannot inflate recall
+        # reference semantics (evaluate.py:126-157): iterate ALL ground
+        # truth videos — a GT video with no predictions scores 0 recall
+        # and 0 precision; tIoU comparison is strictly greater-than.
+        # recall = covered GT segments / GT count, precision = covered
+        # predictions / prediction count, each per video then averaged —
+        # a pile of predictions on one GT segment cannot inflate recall.
+        for vid, ref in references.items():
+            preds = predictions.get(vid, [])
             gt_covered: set = set()
             pred_covered = 0
             for p in preds:
                 matches = []
                 for ri, (ts, s) in enumerate(zip(ref["timestamps"],
                                                  ref["sentences"])):
-                    if tiou(p["timestamp"], ts) >= t:
+                    if tiou(p["timestamp"], ts) > t:
                         gt_covered.add(ri)
                         matches.append(s)
                 if matches:
@@ -69,8 +69,8 @@ def evaluate_dense_captions(
                     idx += 1
             if ref["sentences"]:
                 vid_recalls.append(len(gt_covered) / len(ref["sentences"]))
-            if preds:
-                vid_precisions.append(pred_covered / len(preds))
+            vid_precisions.append(pred_covered / len(preds) if preds
+                                  else 0.0)
         if not gts:
             per_t_scores.append({"Bleu_4": 0.0, "ROUGE_L": 0.0, "CIDEr": 0.0})
             recalls.append(0.0)

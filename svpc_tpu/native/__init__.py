@@ -90,6 +90,12 @@ def pack_video_native(resnet_path: str, bn_path: str, timestamps,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         valid.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.c_int64(n_threads))
+    if rc == -3:
+        raise ValueError(
+            f"{resnet_path}: clip span exceeds the buffer's "
+            f"total_len={total_len} — feature file replaced on disk after "
+            f"valid lengths were computed?  Re-validate via "
+            f"FeatureStore.invalidate()")
     if rc != 0:
         return None
     return out, valid
@@ -98,7 +104,9 @@ def pack_video_native(resnet_path: str, bn_path: str, timestamps,
 def mmap_cache_clear() -> None:
     """Drop the packer's persistent file mappings (waits for in-flight
     packs).  Mappings rebuild lazily; use under memory pressure or after
-    replacing feature files on disk."""
+    replacing feature files on disk.  NOTE: python-side caches
+    (FeatureStore._rows/_cache) are separate — after replacing files call
+    ``FeatureStore.invalidate()``, which clears both layers."""
     lib = get_lib()
     if lib is not None:
         lib.svpc_mmap_cache_clear()
@@ -141,6 +149,12 @@ def pack_video_into(resnet_path: str, bn_path: str, timestamps,
         ctypes.cast(base, ctypes.POINTER(ctypes.c_float)),
         valid.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.c_int64(n_threads))
+    if rc == -3:
+        raise ValueError(
+            f"{resnet_path}: clip span exceeds the buffer's "
+            f"total_len={total_len} — feature file replaced on disk after "
+            f"valid lengths were computed?  Re-validate via "
+            f"FeatureStore.invalidate()")
     if rc != 0:
         return None
     return valid

@@ -276,11 +276,21 @@ int svpc_pack_video(const char* resnet_path, const char* bn_path,
   const int64_t d_r = resnet.cols, d_b = bn.cols, d = d_r + d_b;
   const int64_t max_v_l = max_v_len - 2;
 
+  // Hard in-library bound: a clip's token span (CLS + rows + SEP) must
+  // fit the buffer's row budget even if the caller's valid-length
+  // bookkeeping went stale (e.g. a feature file replaced on disk after
+  // lengths were computed) — never write past a clip slot.
+  std::atomic<bool> overflow{false};
+
   auto pack_clip = [&](int64_t c) {
     int64_t st, ed;
     span_from_timestamp(timestamps[2 * c], timestamps[2 * c + 1], frm2sec,
                         feat_len, &st, &ed);
     const int64_t span = ed - st + 1;
+    if (std::min(span, max_v_l) + 2 > total_len) {
+      overflow.store(true);
+      return;
+    }
     float* clip_out = out + c * total_len * d;
     if (span > max_v_l) {
       // np.linspace(st, ed, max_v_l, endpoint=True).astype(int64)
@@ -318,7 +328,7 @@ int svpc_pack_video(const char* resnet_path, const char* bn_path,
   }
 
   release();
-  return 0;
+  return overflow.load() ? -3 : 0;
 }
 
 // Drop every cached mapping (tests / memory pressure / replaced files).

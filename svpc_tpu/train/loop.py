@@ -399,8 +399,8 @@ def train(cfg: Config, workdir: str,
                         acc_grads, g)
                     n_micro += 1
                     if n_micro == accum:
-                        state, grad_norm = apply_step(state, acc_grads)
-                        m = dict(m, grad_norm=grad_norm)
+                        state, apply_m = apply_step(state, acc_grads)
+                        m = dict(m, **apply_m)
                         acc_grads, n_micro = None, 0
                         opt_step += 1
                 metrics.append(m)
@@ -417,8 +417,10 @@ def train(cfg: Config, workdir: str,
                 if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
                     break
             if acc_grads is not None:
-                # flush a partial accumulation group at epoch end
-                state, _ = apply_step(state, acc_grads)
+                # flush a partial accumulation group at epoch end — keep
+                # its guard metrics too
+                state, apply_m = apply_step(state, acc_grads)
+                metrics.append(apply_m)
                 opt_step += 1
             if prof_active and not profiled:
                 # fewer steps remained than requested: finalize the trace

@@ -140,11 +140,16 @@ def make_grad_step(model, cfg: Config):
 
 
 def make_apply_step(tx: optax.GradientTransformation, cfg: Config):
-    """Optimizer + EMA update from (accumulated) gradients."""
+    """Optimizer + EMA update from (accumulated) gradients.
+
+    Returns ``(new_state, {"grad_norm", "nonfinite_skipped"})`` so the
+    nonfinite-update guard stays visible in the epoch metrics under
+    gradient accumulation too (round-1 advisor finding)."""
     ema_decay = cfg.train.ema_decay
     skip_nonfinite = cfg.train.skip_nonfinite_updates
 
-    def apply_step(state: TrainState, grads) -> Tuple[TrainState, jnp.ndarray]:
+    def apply_step(state: TrainState, grads
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         updates, new_opt = tx.update(grads, state.opt_state,
                                      state.params["params"])
         new_params = optax.apply_updates(state.params["params"], updates)
@@ -154,6 +159,7 @@ def make_apply_step(tx: optax.GradientTransformation, cfg: Config):
                 new_shadow, new_params, state.step.astype(jnp.float32),
                 ema_decay)
         grad_norm = optax.global_norm(grads)
+        metrics = {"grad_norm": grad_norm}
         if skip_nonfinite:
             finite = jnp.isfinite(grad_norm)
             new_params = _select_finite(finite, new_params,
@@ -162,10 +168,11 @@ def make_apply_step(tx: optax.GradientTransformation, cfg: Config):
             if new_shadow is not None:
                 new_shadow = _select_finite(finite, new_shadow,
                                             state.ema_shadow)
+            metrics["nonfinite_skipped"] = (~finite).astype(jnp.int32)
         new_state = state.replace(
             params={"params": new_params}, opt_state=new_opt,
             ema_shadow=new_shadow, step=state.step + 1)
-        return new_state, grad_norm
+        return new_state, metrics
 
     return apply_step
 

@@ -65,7 +65,9 @@ def test_accumulated_step_matches_big_batch():
 
     # one apply on the accumulated grads == one train_step on the big batch
     state_a = TrainState.create(params, tx, use_ema=True)
-    state_a, grad_norm = apply_step(state_a, g_acc)
+    state_a, apply_m = apply_step(state_a, g_acc)
+    grad_norm = apply_m["grad_norm"]
+    assert int(apply_m["nonfinite_skipped"]) == 0
     state_b, m_big = train_step(TrainState.create(params, tx, use_ema=True),
                                 big, rng)
     # metric sums across microbatches equal the big-batch metrics
@@ -171,8 +173,11 @@ def test_nonfinite_update_skipped():
     good_state = TrainState.create(params, tx, use_ema=True)
     nan_grads = jax.tree.map(lambda x: jnp.full_like(x, jnp.nan),
                              params["params"])
-    applied, gn = apply_step(good_state, nan_grads)
-    assert not bool(jnp.isfinite(gn))
+    applied, apply_m = apply_step(good_state, nan_grads)
+    assert not bool(jnp.isfinite(apply_m["grad_norm"]))
+    # the skip is reported in the apply metrics (visible under grad
+    # accumulation — round-1 advisor finding)
+    assert int(apply_m["nonfinite_skipped"]) == 1
     for a, b in zip(jax.tree.leaves(good_state.params),
                     jax.tree.leaves(applied.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -78,3 +78,77 @@ def test_undersized_v_len_raises():
     cfg, ds = rb.build_ours("copy", feat_dir, dur_file)
     with pytest.raises(ValueError, match="v_len"):
         pack_examples([ds[0]], cfg.model.max_t_len, v_len=4)
+
+
+def test_ingredient_budget_overflow_lenient_on_inference():
+    """A user spec overflowing the ingredient budgets must truncate with a
+    warning on the GT-free inference path (strict=False), while annotated
+    splits keep the hard raise (round-1 VERDICT item 7)."""
+    from svpc_tpu import tokenization as tok
+    from svpc_tpu.data.pipeline import build_ingredient_arrays
+
+    vocab = tok.Vocabulary.from_json(
+        "/root/reference/cache/yc2_word2idx.json")
+    # 40 single-word ingredients incl. many OOV made-up words
+    ingredients = [f"zzzingredient{i}" for i in range(30)] + [
+        "salt", "pepper", "oil", "butter", "sugar", "flour", "eggs",
+        "milk", "cheese", "water"]
+    kw = dict(max_i_len=120, max_entities=8, max_oov=4, max_ingr_words=4)
+
+    with pytest.raises(ValueError):
+        build_ingredient_arrays(ingredients, vocab, strict=True, **kw)
+
+    arrays, meta = build_ingredient_arrays(
+        ingredients, vocab, strict=False, **kw)
+    assert len(meta["oov_word_dict"]) <= 4
+    assert arrays["copy_ids"].shape == (8, 4)
+    assert int(arrays["oov_count"]) <= 4
+    # every extended id stays inside the padded extended vocab
+    assert arrays["copy_ids"].max() < len(vocab) + 4
+    # long multi-word ingredient group truncates, weights renormalized
+    arrays2, _ = build_ingredient_arrays(
+        ["one two three four five six seven"], vocab, strict=False, **kw)
+    row = arrays2["copy_weights"][0]
+    assert row.sum() == pytest.approx(1.0)
+
+
+def test_native_pack_overflow_guard():
+    """The native packer must error (not write past a clip slot) when the
+    buffer's row budget is smaller than a clip's span — the stale-cache
+    scenario from the round-1 advisor findings."""
+    import numpy as np
+    from svpc_tpu.native import get_lib, pack_video_into
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        r = os.path.join(d, "v_resnet.npy")
+        b = os.path.join(d, "v_bn.npy")
+        np.save(r, np.random.rand(40, 8).astype(np.float16))
+        np.save(b, np.random.rand(40, 4).astype(np.float16))
+        # clip spanning ~30 rows but a buffer with only 8 rows per clip
+        out = np.zeros((1, 8, 12), np.float32)
+        with pytest.raises(ValueError, match="clip span exceeds"):
+            pack_video_into(r, b, np.array([[0.0, 29.0]]), 1.0,
+                            max_v_len=40, out=out, lo=0)
+        assert out.sum() == 0.0  # nothing was written
+
+
+def test_feature_store_invalidate():
+    """invalidate() drops cached row counts so a replaced file is re-read."""
+    import numpy as np
+    from svpc_tpu.data.features import FeatureStore
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        np.save(os.path.join(d, "v_resnet.npy"),
+                np.zeros((10, 4), np.float32))
+        np.save(os.path.join(d, "v_bn.npy"), np.zeros((10, 2), np.float32))
+        store = FeatureStore(d)
+        assert store.rows("v") == 10
+        np.save(os.path.join(d, "v_resnet.npy"),
+                np.zeros((25, 4), np.float32))
+        assert store.rows("v") == 10  # cached
+        store.invalidate()
+        assert store.rows("v") == 25
