@@ -74,6 +74,10 @@ def add_common_args(p: argparse.ArgumentParser):
                    choices=["float32", "bfloat16"])
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--dp_size", type=int, default=1)
+    p.add_argument("--tp_size", type=int, default=1,
+                   help="tensor-parallel mesh axis (Megatron-style "
+                        "attention/FFN/vocab sharding; vocab tables are "
+                        "zero-padded to a tp multiple)")
     p.add_argument("--grad_accum_steps", type=int, default=1,
                    help="host batches per optimizer step; exact under "
                         "sum-loss semantics (effective batch = "
@@ -115,7 +119,8 @@ def config_from_args(args) -> Config:
             initializer_range=args.initializer_range,
             share_wd_cls_weight=args.share_wd_cls_weight,
             use_asl=args.use_asl == "asl",
-            compute_dtype=args.compute_dtype, use_pallas=args.use_pallas),
+            compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
+            vocab_pad_multiple=max(1, getattr(args, "tp_size", 1))),
         data=DataConfig(
             dset_name=args.dset_name,
             data_dir=args.data_dir,
@@ -134,6 +139,7 @@ def config_from_args(args) -> Config:
             lr_warmup_proportion=args.lr_warmup_proportion,
             ema_decay=args.ema_decay, freeze_glove=args.freeze_glove,
             dp_size=args.dp_size,
+            tp_size=getattr(args, "tp_size", 1),
             grad_accum_steps=args.grad_accum_steps,
             pack_clips=not args.no_pack_clips,
             length_group=args.length_group,

@@ -48,6 +48,14 @@ class ModelConfig:
     action_vocab_size: int = 384   # cache/bosselut_verb_vocab.json
     type_vocab_size: int = 4       # PAD / CLS / SEP / VID (model.py:834)
     share_wd_cls_weight: bool = False
+    # round vocab-sized parameters (word-embedding tables, LM head) up to
+    # a multiple of this so they divide the tensor-parallel mesh axis
+    # (V=951 is odd — without padding every vocab-dim sharding rule would
+    # silently fall back to replication at tp=2).  Semantics-neutral: the
+    # padded logit columns are sliced off inside LMPredictionHead and the
+    # padded table rows are never indexed; 1 (default) keeps parameter
+    # shapes byte-identical to the reference for checkpoint interop.
+    vocab_pad_multiple: int = 1
 
     # video features
     video_feature_size: int = 3072  # 2048 ResNet + 1024 BN-Inception flow
@@ -91,6 +99,11 @@ class ModelConfig:
         return self.vocab_size + self.max_oov
 
     @property
+    def padded_vocab_size(self) -> int:
+        m = self.vocab_pad_multiple
+        return -(-self.vocab_size // m) * m
+
+    @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_attention_heads
 
@@ -101,6 +114,8 @@ class ModelConfig:
                 f"num_attention_heads {self.num_attention_heads}")
         if self.model_mode not in MODEL_MODES:
             raise ValueError(f"model_mode must be one of {MODEL_MODES}")
+        if self.vocab_pad_multiple < 1:
+            raise ValueError("vocab_pad_multiple must be >= 1")
         if self.share_wd_cls_weight and self.word_vec_size != self.hidden_size:
             raise ValueError(
                 "word_vec_size must equal hidden_size when sharing the word "

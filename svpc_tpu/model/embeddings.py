@@ -56,13 +56,17 @@ class WordFC(nn.Module):
 
 
 class WordEmbedding(nn.Module):
-    """GloVe-initializable word embedding table (vocab, word_vec)."""
+    """GloVe-initializable word embedding table (padded_vocab, word_vec).
+
+    Rows beyond ``vocab_size`` (present only under ``vocab_pad_multiple``
+    > 1, the tensor-parallel layout) are never indexed — input ids are
+    always < vocab_size (OOV ids live only in labels/copy arrays)."""
     cfg: ModelConfig
 
     def setup(self):
         self.embedding = self.param(
             "embedding", nn.initializers.normal(self.cfg.initializer_range),
-            (self.cfg.vocab_size, self.cfg.word_vec_size))
+            (self.cfg.padded_vocab_size, self.cfg.word_vec_size))
 
     def __call__(self, ids):
         return jnp.take(self.embedding, ids, axis=0)

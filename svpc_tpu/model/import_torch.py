@@ -159,21 +159,33 @@ def import_state_dict(flax_params, torch_state: Dict[str, np.ndarray],
         if f_key not in flat:
             raise KeyError(f"flax param {f_key} not found")
         if flat[f_key].shape != val.shape:
-            raise ValueError(
-                f"shape mismatch {f_key}: {flat[f_key].shape} vs {val.shape}")
+            # vocab tables / LM head may be tp-padded on our side
+            # (ModelConfig.vocab_pad_multiple): zero-pad the reference
+            # tensor up to the target shape when every dim only grows
+            target = flat[f_key].shape
+            if len(target) == val.ndim and all(
+                    t >= s for t, s in zip(target, val.shape)):
+                val = np.pad(val, [(0, t - s)
+                                   for t, s in zip(target, val.shape)])
+            else:
+                raise ValueError(
+                    f"shape mismatch {f_key}: {target} vs {val.shape}")
         flat[f_key] = val.astype(np.float32)
     nested = unflatten_dict({tuple(k.split("/")): v for k, v in flat.items()})
     return {"params": nested}
 
 
-def export_state_dict(flax_params, model_mode: str,
-                      n_layers: int) -> Dict[str, np.ndarray]:
+def export_state_dict(flax_params, model_mode: str, n_layers: int,
+                      vocab_size: int = 0, padded_vocab_size: int = 0,
+                      ) -> Dict[str, np.ndarray]:
     """Inverse of import_state_dict: a reference-named {name: np.ndarray}
     state dict from flax params, so checkpoints trained here run under the
     reference's test.py / dump_memories.py / translator unchanged.
 
     ``action_embeddings`` is emitted under its ``nn.Embedding`` name
-    (``...action_embeddings.weight``, reference model.py:760)."""
+    (``...action_embeddings.weight``, reference model.py:760).  When the
+    params were trained tp-padded (vocab_pad_multiple > 1) pass
+    vocab_size/padded_vocab_size so padding rows/columns are sliced off."""
     mapping = build_mapping(model_mode, n_layers)
     flat = {"/".join(k): v
             for k, v in flatten_dict(flax_params["params"]).items()}
@@ -184,6 +196,11 @@ def export_state_dict(flax_params, model_mode: str,
         val = np.asarray(flat[f_key], dtype=np.float32)
         if transform == "T":
             val = val.T
+        if padded_vocab_size > vocab_size > 0:
+            # any dim equal to the padded vocab is a padded vocab dim
+            for d, n in enumerate(val.shape):
+                if n == padded_vocab_size:
+                    val = np.take(val, np.arange(vocab_size), axis=d)
         # action_embeddings stays a bare Parameter: reference checkpoints
         # of record store it GloVe-injected, not as nn.Embedding.weight
         out[t_key] = val
@@ -198,7 +215,9 @@ def export_reference_checkpoint(path: str, flax_params, cfg,
 
     m = cfg.model
     state = {k: torch.from_numpy(v.copy()) for k, v in export_state_dict(
-        flax_params, m.model_mode, m.num_hidden_layers).items()}
+        flax_params, m.model_mode, m.num_hidden_layers,
+        vocab_size=m.vocab_size,
+        padded_vocab_size=m.padded_vocab_size).items()}
     # the reference loads with strict=True (translator.py:38), so the
     # deterministic sinusoidal PE buffers must be present too
     from svpc_tpu.model.embeddings import sinusoid_table

@@ -308,8 +308,12 @@ class LMPredictionHead(nn.Module):
             assert shared_embedding is not None
             logits = h @ shared_embedding.T.astype(h.dtype)
         else:
-            logits = nn.Dense(cfg.vocab_size, use_bias=False,
+            logits = nn.Dense(cfg.padded_vocab_size, use_bias=False,
                               kernel_init=dense_init(cfg), dtype=h.dtype,
                               name="decoder")(h)
-        bias = self.param("bias", nn.initializers.zeros, (cfg.vocab_size,))
-        return logits + bias.astype(logits.dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (cfg.padded_vocab_size,))
+        logits = logits + bias.astype(logits.dtype)
+        # drop tp-padding columns so everything downstream (softmax,
+        # pointer-gen extended vocab, greedy argmax) sees exactly V logits
+        return logits[..., : cfg.vocab_size]

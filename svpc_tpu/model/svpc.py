@@ -360,7 +360,8 @@ class SVPCModel(nn.Module):
                            logits, NEG_INF)
         rng = self.make_rng("gumbel")
         onehot = gumbel_softmax_st(rng, logits, cfg.temperature)
-        bow = onehot[..., : cfg.vocab_size] @ self.text_embeddings.table  # (B,S,T,W)
+        bow = (onehot[..., : cfg.vocab_size]
+               @ self.text_embeddings.table[: cfg.vocab_size])  # (B,S,T,W)
 
         tm = text_mask[..., None]
         counts = jnp.maximum(jnp.sum(tm, axis=2), 1.0)

@@ -76,45 +76,73 @@ def shard_batch_multihost(mesh: Mesh, local_batch: dict) -> dict:
 # ---------------------------------------------------------------------- #
 
 def param_partition_spec(path: tuple) -> P:
-    """Sharding rule for one parameter, by tree path.
+    """Sharding rule for one parameter, by tree path (Megatron layout).
 
-    The model is small (42M params), so TP is about demonstrating real
-    multi-axis sharding rather than memory need: the widest matmuls —
-    vocab-sized tables/heads and the FFN — shard over ``tp``; everything
-    else replicates.  XLA inserts the ICI collectives.
+    The model is small (42M params), so TP is about a real multi-axis
+    layout rather than memory need.  At the paper config (hidden 768,
+    12 heads) with ``ModelConfig.vocab_pad_multiple=tp`` every rule below
+    actually fires at tp=2:
+
+      * attention Q/K/V kernels column-sharded = head-wise (12 % 2 == 0;
+        the (N,L,heads,dh) reshape keeps whole heads per shard), their
+        biases sharded to match, and the attention output projection
+        row-sharded (XLA inserts the psum);
+      * FFN intermediate column-sharded (+bias), output row-sharded;
+      * word/action embedding tables (V_pad, D) row-sharded over vocab;
+      * LM head projection (H, V_pad) + bias column-sharded over vocab.
+
+    Everything else (LayerNorms, LSTM, reasoner projections) replicates.
+    XLA inserts the ICI collectives under jit.
     """
     keys = [p.key for p in path if hasattr(p, "key")]
     name = keys[-1] if keys else ""
+    parent = keys[-2] if len(keys) > 1 else ""
     joined = "/".join(keys)
+    # attention: Q/K/V projections head-wise (columns), output rows
+    if parent in ("query", "key", "value"):
+        return P(None, "tp") if name == "kernel" else P("tp")
+    if "attention/output/dense" in joined:
+        return P("tp", None) if name == "kernel" else P()
     # vocab-dimension sharding: word/action embedding tables (V, D)
     if name in ("embedding", "action_embeddings"):
         return P("tp", None)
-    # LM head projection (H, V): shard the vocab dim
-    if "decoder_classifier" in joined and name == "kernel" \
-            and "decoder" in joined:
-        return P(None, "tp")
-    # FFN: intermediate kernel column-sharded, output kernel row-sharded
-    if "intermediate/dense" in joined.replace("//", "/") and name == "kernel":
-        return P(None, "tp")
+    # LM head projection (H, V) + bias (V,): shard the vocab dim
+    if "decoder_classifier" in joined:
+        if name == "kernel" and parent == "decoder":
+            return P(None, "tp")
+        if name == "bias" and parent == "decoder_classifier":
+            return P("tp")
+    # FFN: intermediate kernel column-sharded (+bias), output row-sharded
+    if "intermediate/dense" in joined.replace("//", "/"):
+        return P(None, "tp") if name == "kernel" else P("tp")
     if joined.endswith("output/dense/kernel") and "attention" not in joined:
         return P("tp", None)
     return P()
 
 
-def shard_params(mesh: Mesh, params: Any) -> Any:
+def shard_params(mesh: Mesh, params: Any, report: Optional[dict] = None) -> Any:
     """Place a param pytree with TP partition specs over the mesh.
 
-    A spec only applies when the sharded dimension divides the axis size
-    (e.g. the 951-word vocab doesn't split over tp=2 — those tables
-    replicate)."""
+    A spec only applies when the sharded dimension divides the axis size;
+    otherwise the leaf replicates (and is recorded in ``report`` when
+    given, mapping path -> "replicated(shape)").  With
+    ``ModelConfig.vocab_pad_multiple = tp`` no vocab rule hits this
+    fallback; it exists for ad-hoc geometries."""
     tp = mesh.shape.get("tp", 1)
 
     def place(path, x):
         spec = param_partition_spec(path)
         for dim, axis in enumerate(spec):
             if axis is not None and x.shape[dim] % tp != 0:
+                if report is not None:
+                    key = "/".join(p.key for p in path if hasattr(p, "key"))
+                    report[key] = f"replicated{tuple(x.shape)}"
                 spec = P()
                 break
+        else:
+            if report is not None and spec != P():
+                key = "/".join(p.key for p in path if hasattr(p, "key"))
+                report[key] = str(spec)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)

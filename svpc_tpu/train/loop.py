@@ -26,7 +26,7 @@ from svpc_tpu.decode.postprocess import (
     batch_to_sentences, build_submission, collect_results)
 from svpc_tpu.evaluation.para_eval import evaluate_submission
 from svpc_tpu.model import SVPCModel
-from svpc_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from svpc_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
 from svpc_tpu.precision import precision_scope
 from svpc_tpu.train.optim import make_optimizer
 from svpc_tpu.train.state import TrainState, save_checkpoint
@@ -36,9 +36,12 @@ logger = logging.getLogger(__name__)
 
 
 def load_glove_into(params, glove_path: str, verb_glove_path: str,
-                    model_mode: str):
+                    model_mode: str, padded_vocab_size: int = 0):
     """GloVe initialization of the word/ingredient/verb embedding tables
-    (reference train.py:691-714).  Accepts .npy or torch-saved .pt files."""
+    (reference train.py:691-714).  Accepts .npy or torch-saved .pt files.
+    ``padded_vocab_size`` > rows zero-pads the table to the tp-padded
+    vocab (ModelConfig.vocab_pad_multiple); padding rows are never
+    indexed."""
 
     def load_matrix(path):
         if path.endswith(".npy"):
@@ -50,6 +53,9 @@ def load_glove_into(params, glove_path: str, verb_glove_path: str,
     p = params["params"]
     if glove_path:
         glove = load_matrix(glove_path)
+        if padded_vocab_size > glove.shape[0]:
+            glove = np.pad(glove,
+                           ((0, padded_vocab_size - glove.shape[0]), (0, 0)))
         p["text_embeddings"]["word_embeddings"]["embedding"] = glove
         if "ingredient_embeddings" in p:
             p["ingredient_embeddings"]["word_embeddings"]["embedding"] = \
@@ -252,7 +258,7 @@ def train(cfg: Config, workdir: str,
     val_ds = CaptionDataset(cfg, "val", lazy_features=True)
     logger.info("train videos: %d, val videos: %d", len(train_ds), len(val_ds))
     mesh = make_mesh(cfg.train.dp_size, cfg.train.tp_size) \
-        if cfg.train.dp_size > 1 else None
+        if cfg.train.dp_size * cfg.train.tp_size > 1 else None
     if len(val_ds):
         # cap at the dataset size, rounded to a dp-mesh multiple so the
         # padded eval batches shard cleanly
@@ -262,7 +268,8 @@ def train(cfg: Config, workdir: str,
     sample_batch, _ = next(iter(train_ds.batches(cfg.train.batch_size)))
     model, params = init_model(cfg, sample_batch)
     params = load_glove_into(params, cfg.data.glove_path,
-                             cfg.data.verb_glove_path, cfg.model.model_mode)
+                             cfg.data.verb_glove_path, cfg.model.model_mode,
+                             cfg.model.padded_vocab_size)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     logger.info("Parameter Count: all %s; trainable %s",
                 f"{n_params:,d}", f"{n_params:,d}")  # reference utils.py:32-45
@@ -281,7 +288,12 @@ def train(cfg: Config, workdir: str,
         logger.info("resumed from %s at step %d (epoch %d)",
                     resume_from, int(state.step), start_epoch)
     if mesh is not None:
-        state = replicate(mesh, state)
+        # place the whole TrainState by the TP partition rules: params /
+        # optimizer moments / EMA shadow leaves share the same dict paths,
+        # so one tree_map shards them consistently; everything else
+        # (scalars, schedules) replicates.  On a dp-only mesh every spec
+        # resolves to replication — identical to the old replicate().
+        state = shard_params(mesh, state)
 
     train_step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
     if accum > 1:

@@ -78,6 +78,141 @@ def test_dp_tp_loss_matches_single_device():
     np.testing.assert_allclose(tp_loss, single, rtol=1e-5)
 
 
+def test_vocab_padding_is_neutral():
+    """vocab_pad_multiple only changes parameter shapes: with the same
+    weights (padding rows zero) the loss is bit-identical at an odd vocab
+    size (round-1 VERDICT item 4 groundwork)."""
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.config import tiny_test_config
+    from svpc_tpu.data.synthetic import synthetic_batch
+    from svpc_tpu.model import SVPCModel
+
+    base = tiny_test_config("full")
+    cfg_u = base.replace_model(vocab_size=63)
+    cfg_p = base.replace_model(vocab_size=63, vocab_pad_multiple=2)
+    assert cfg_p.model.padded_vocab_size == 64
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(cfg_u, batch_size=2, seed=0).items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    m_u, m_p = SVPCModel(cfg_u.model), SVPCModel(cfg_p.model)
+    p_u = m_u.init(rngs, batch, deterministic=True)
+    p_p = m_p.init(rngs, batch, deterministic=True)
+
+    def pad_to(src, dst):
+        src, dst = np.asarray(src), np.asarray(dst)
+        if src.shape == dst.shape:
+            return src
+        out = np.zeros(dst.shape, src.dtype)
+        out[tuple(slice(0, s) for s in src.shape)] = src
+        return out
+
+    p_pad = jax.tree.map(pad_to, p_u, jax.tree.map(np.asarray, p_p))
+    g = {"gumbel": jax.random.PRNGKey(3)}
+    l_u = float(m_u.apply(p_u, batch, deterministic=True, rngs=g).total_loss)
+    l_p = float(m_p.apply(p_pad, batch, deterministic=True, rngs=g).total_loss)
+    assert l_u == l_p
+
+
+def test_dp_tp_gradient_parity_padded():
+    """dp4 x tp2 with a tp-padded odd vocab: per-leaf gradients must match
+    the single-device run, and the vocab/attention/FFN/head sharding rules
+    must all actually fire (round-1 VERDICT item 4: TP was loss-only and
+    silently replicated every vocab rule at odd V)."""
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.config import tiny_test_config
+    from svpc_tpu.data.synthetic import synthetic_batch
+    from svpc_tpu.model import SVPCModel
+    from svpc_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+
+    cfg = tiny_test_config("full").replace_model(
+        vocab_size=63, vocab_pad_multiple=2)
+    model = SVPCModel(cfg.model)
+    batch_np = synthetic_batch(cfg, batch_size=4, seed=3)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    params = model.init(rngs, batch, deterministic=True)
+
+    def loss_fn(p, b):
+        return model.apply(p, b, deterministic=True,
+                           rngs={"gumbel": jax.random.PRNGKey(3)}).total_loss
+
+    single = float(jax.jit(loss_fn)(params, batch))
+    grads_single = jax.jit(jax.grad(loss_fn))(params, batch)
+
+    mesh = make_mesh(dp_size=4, tp_size=2)
+    report = {}
+    p_sharded = {"params": shard_params(mesh, params["params"], report)}
+    # every family of rules fires — nothing silently replicated
+    fired = "\n".join(f"{k}: {v}" for k, v in sorted(report.items()))
+    assert not any(v.startswith("replicated") for v in report.values()), fired
+    for want in ("word_embeddings/embedding", "query/kernel",
+                 "intermediate/dense/kernel", "decoder_classifier/bias",
+                 "decoder_classifier/decoder/kernel"):
+        assert any(want in k for k in report), f"no rule fired for {want}"
+
+    b_sharded = shard_batch(mesh, batch_np)
+    tp_loss = float(jax.jit(loss_fn)(p_sharded, b_sharded))
+    np.testing.assert_allclose(tp_loss, single, rtol=1e-5)
+    grads_tp = jax.jit(jax.grad(loss_fn))(p_sharded, b_sharded)
+    flat_s = jax.tree_util.tree_flatten_with_path(grads_single)[0]
+    flat_t = jax.tree.leaves(grads_tp)
+    assert len(flat_s) == len(flat_t)
+    for (path, a), b in zip(flat_s, flat_t):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_tp_rules_cover_paper_config():
+    """At the flagship geometry (hidden 768, 12 heads, V=951 padded to
+    952) every TP rule applies without hitting the divisibility fallback —
+    checked on abstract shapes, no compute."""
+    import jax
+    from svpc_tpu.config import Config, ModelConfig
+    from svpc_tpu.data.synthetic import synthetic_batch
+    from svpc_tpu.model import SVPCModel
+    from svpc_tpu.parallel.mesh import param_partition_spec
+
+    cfg = Config(model=ModelConfig(model_mode="full", vocab_pad_multiple=2))
+    model = SVPCModel(cfg.model)
+    batch = synthetic_batch(cfg, batch_size=1, seed=0)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    abstract = jax.eval_shape(
+        lambda: model.init(rngs, batch, deterministic=True))
+
+    tp = 2
+    sharded, replicated_vocab = [], []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(abstract)[0]:
+        spec = param_partition_spec(path)
+        key = jax.tree_util.keystr(path)
+        ok = all(leaf.shape[d] % tp == 0
+                 for d, ax in enumerate(spec) if ax is not None)
+        if spec != jax.sharding.PartitionSpec():
+            (sharded if ok else replicated_vocab).append((key, leaf.shape))
+    assert not replicated_vocab, replicated_vocab
+    names = " ".join(k for k, _ in sharded)
+    for want in ("query']['kernel", "key']['kernel", "value']['kernel",
+                 "attention']['output']['dense']['kernel",
+                 "intermediate']['dense']['kernel",
+                 "decoder']['kernel", "word_embeddings']['embedding",
+                 "action_embeddings"):
+        assert want in names, f"{want} not sharded; sharded={names}"
+    # the padded vocab dims really are 952
+    flat = {jax.tree_util.keystr(p): l.shape for p, l
+            in jax.tree_util.tree_flatten_with_path(abstract)[0]}
+    emb = [s for k, s in flat.items()
+           if "word_embeddings']['embedding" in k]
+    assert all(s[0] == 952 for s in emb), emb
+
+
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
