@@ -26,3 +26,10 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 def pytest_report_header(config):
     return f"jax devices: {jax.devices()}"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute tests (paper-geometry parity); run by default, "
+        "deselect with -m 'not slow' for a quick pass")

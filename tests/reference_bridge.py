@@ -20,20 +20,31 @@ DIMS = dict(hidden_size=64, intermediate_size=64, lstm_hidden_size=64,
             word_vec_size=32, num_attention_heads=4, num_hidden_layers=2,
             video_feature_size=24)
 
+# the flagship experiment-of-record geometry every BASELINE.md claim is
+# stated against (reference src/train.py:471-509 defaults +
+# scripts/train.sh:19-21) — used by test_parity_paper.py
+PAPER_GEOM = dict(max_v_len=100, max_t_len=22, max_n_sen=12, max_i_len=100)
+PAPER_DIMS = dict(hidden_size=768, intermediate_size=768,
+                  lstm_hidden_size=768, word_vec_size=300,
+                  num_attention_heads=12, num_hidden_layers=2,
+                  video_feature_size=3072)
+
 
 def reference_available() -> bool:
     return os.path.isdir(REFERENCE_ROOT)
 
 
-def setup_features(n_videos: int = 4, seed: int = 0, split: str = "val"):
+def setup_features(n_videos: int = 4, seed: int = 0, split: str = "val",
+                   feat_dims=(16, 8), tag: str = ""):
     """Deterministic synthetic features + duration csv for the first
     n_videos of the split.
 
     The fixture dir is shared across tests: datasets built from it include
     EVERY video whose features exist (fix_missing semantics), so a test
     requesting more videos than test_parity.N_VIDEOS would leak extras
-    into the parity datasets.  Keep n_videos <= 3 in new tests."""
-    from tools.reference_harness import make_synthetic_features
+    into the parity datasets.  Keep n_videos <= 3 in new tests, or pass a
+    distinct ``tag`` for an isolated fixture dir (e.g. the paper-geometry
+    fixtures with feat_dims=(2048, 1024))."""
     ann_path = os.path.join(
         REFERENCE_ROOT, "densevid_eval/yc2_data",
         {"train": "bosselut_yc2_train_anet_format.json",
@@ -41,17 +52,18 @@ def setup_features(n_videos: int = 4, seed: int = 0, split: str = "val"):
          "test": "bosselut_split_yc2_test_anet_format.json"}[split])
     anns = json.load(open(ann_path))
     names = list(anns)[:n_videos]
-    feat_dir = os.path.join(TMP, f"feat_{split}")
-    dur_file = os.path.join(TMP, f"dur_{split}.csv")
+    feat_dir = os.path.join(TMP, f"feat_{split}{tag}")
+    dur_file = os.path.join(TMP, f"dur_{split}{tag}.csv")
     os.makedirs(TMP, exist_ok=True)
     if not all(os.path.exists(os.path.join(feat_dir, f"{n}_resnet.npy"))
                for n in names):
-        # small feature dims (16 + 8 = 24) for fast CPU parity runs
-        _make_small_features(names, feat_dir, dur_file, anns, seed)
+        _make_small_features(names, feat_dir, dur_file, anns, seed,
+                             feat_dims)
     return names, feat_dir, dur_file
 
 
-def _make_small_features(names, feat_dir, dur_file, anns, seed):
+def _make_small_features(names, feat_dir, dur_file, anns, seed,
+                         feat_dims=(16, 8)):
     import math
     os.makedirs(feat_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
@@ -62,16 +74,16 @@ def _make_small_features(names, feat_dir, dur_file, anns, seed):
         frm2sec = duration * math.ceil(n_frames / duration * 0.5) / n_frames
         feat_len = max(int(math.ceil(duration / frm2sec)) + 2, 8)
         np.save(os.path.join(feat_dir, f"{name}_resnet.npy"),
-                rng.randn(feat_len, 16).astype(np.float32))
+                rng.randn(feat_len, feat_dims[0]).astype(np.float32))
         np.save(os.path.join(feat_dir, f"{name}_bn.npy"),
-                rng.randn(feat_len, 8).astype(np.float32))
+                rng.randn(feat_len, feat_dims[1]).astype(np.float32))
         lines.append(f"{name},{duration},{n_frames}\n")
     with open(dur_file, "w") as f:
         f.writelines(lines)
 
 
 def build_reference(model_mode: str, feat_dir: str, dur_file: str,
-                    seed: int = 7):
+                    seed: int = 7, geom=None, dims=None):
     """Returns (torch model in eval(), reference dataset, rt cfg)."""
     from tools.reference_harness import (
         install_patches, make_reference_config, make_reference_dataset)
@@ -79,23 +91,25 @@ def build_reference(model_mode: str, feat_dir: str, dur_file: str,
     import torch
     from src.rtransformer.model import StateAwareRecursiveTransformer
 
+    geom = geom or GEOM
+    dims = dims or DIMS
     w2i = json.load(open(os.path.join(REFERENCE_ROOT, "cache/yc2_word2idx.json")))
     v2i = json.load(open(os.path.join(REFERENCE_ROOT,
                                       "cache/bosselut_verb_vocab.json")))
     cfg = make_reference_config(
         model_mode, len(w2i), len(v2i),
-        max_n_sen=GEOM["max_n_sen"], max_t_len=GEOM["max_t_len"],
-        max_v_len=GEOM["max_v_len"])
-    for k, v in DIMS.items():
+        max_n_sen=geom["max_n_sen"], max_t_len=geom["max_t_len"],
+        max_v_len=geom["max_v_len"])
+    for k, v in dims.items():
         cfg[k] = v
-    cfg["max_position_embeddings"] = GEOM["max_v_len"] + GEOM["max_t_len"]
+    cfg["max_position_embeddings"] = geom["max_v_len"] + geom["max_t_len"]
 
     torch.manual_seed(seed)
     model = StateAwareRecursiveTransformer(cfg)
     if model_mode in ("full", "reason_copy"):
         rng = np.random.RandomState(seed)
         verb_emb = torch.from_numpy(
-            rng.randn(len(v2i), DIMS["word_vec_size"]).astype(np.float32))
+            rng.randn(len(v2i), dims["word_vec_size"]).astype(np.float32))
         model.reasoner.set_pretrained_embedding(verb_emb, freeze=False)
         if model_mode == "full":
             model.recipe_reasoner.set_pretrained_embedding(
@@ -103,24 +117,27 @@ def build_reference(model_mode: str, feat_dir: str, dur_file: str,
     model.eval()
 
     ds = make_reference_dataset(
-        feat_dir, dur_file, split="val", max_n_sen=GEOM["max_n_sen"],
-        max_t_len=GEOM["max_t_len"], max_v_len=GEOM["max_v_len"],
-        max_i_len=GEOM["max_i_len"])
+        feat_dir, dur_file, split="val", max_n_sen=geom["max_n_sen"],
+        max_t_len=geom["max_t_len"], max_v_len=geom["max_v_len"],
+        max_i_len=geom["max_i_len"])
     return model, ds, cfg
 
 
-def build_ours(model_mode: str, feat_dir: str, dur_file: str):
+def build_ours(model_mode: str, feat_dir: str, dur_file: str,
+               geom=None, dims=None):
     """Returns (Config, CaptionDataset)."""
     from svpc_tpu.config import Config, DataConfig, ModelConfig
     from svpc_tpu.data.pipeline import CaptionDataset
 
+    geom = geom or GEOM
+    dims = dims or DIMS
     w2i = json.load(open(os.path.join(REFERENCE_ROOT, "cache/yc2_word2idx.json")))
     v2i = json.load(open(os.path.join(REFERENCE_ROOT,
                                       "cache/bosselut_verb_vocab.json")))
     mcfg = ModelConfig(
         vocab_size=len(w2i), action_vocab_size=len(v2i),
         model_mode=model_mode, max_entities=32, max_oov=16, max_ingr_words=8,
-        **GEOM, **DIMS)
+        **geom, **dims)
     cfg = Config(
         model=mcfg,
         data=DataConfig(
@@ -129,7 +146,7 @@ def build_ours(model_mode: str, feat_dir: str, dur_file: str):
             word2idx_path=os.path.join(REFERENCE_ROOT, "cache/yc2_word2idx.json"),
             verb2idx_path=os.path.join(REFERENCE_ROOT,
                                        "cache/bosselut_verb_vocab.json")))
-    ds = CaptionDataset(cfg, "val", num_steps=GEOM["max_n_sen"])
+    ds = CaptionDataset(cfg, "val", num_steps=geom["max_n_sen"])
     return cfg, ds
 
 

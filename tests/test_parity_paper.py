@@ -1,0 +1,112 @@
+"""Parity at the flagship (paper) geometry.
+
+The main parity suite (test_parity.py) runs a miniature geometry for
+speed; every BASELINE.md claim, however, is stated against the
+experiment-of-record config (hidden 768, 12 heads, Lv=100, Lt=22,
+3072-dim features — reference src/train.py:471-509 +
+scripts/train.sh:19-21).  This file asserts forward-loss and
+token-for-token greedy parity directly at that geometry in ``full``
+(vivt) mode on 2 videos (round-1 VERDICT item 2).
+"""
+
+import numpy as np
+import pytest
+
+from tests import reference_bridge as rb
+
+pytestmark = [
+    pytest.mark.skipif(not rb.reference_available(),
+                       reason="reference repo not mounted"),
+    pytest.mark.slow,
+]
+
+N_VIDEOS = 2
+
+
+@pytest.fixture(scope="module")
+def paper_setup():
+    names, feat_dir, dur_file = rb.setup_features(
+        N_VIDEOS, feat_dims=(2048, 1024), tag="_paper")
+    ref_model, ref_ds, _ = rb.build_reference(
+        "full", feat_dir, dur_file, geom=rb.PAPER_GEOM, dims=rb.PAPER_DIMS)
+    cfg, ours_ds = rb.build_ours(
+        "full", feat_dir, dur_file, geom=rb.PAPER_GEOM, dims=rb.PAPER_DIMS)
+    assert cfg.model.hidden_size == 768
+    assert cfg.model.num_attention_heads == 12
+    assert cfg.model.max_v_len == 100 and cfg.model.max_t_len == 22
+    rb.patch_deterministic_gumbel()
+    return ref_model, ref_ds, cfg, ours_ds
+
+
+def test_forward_parity_paper_geometry(paper_setup):
+    import torch
+
+    ref_model, ref_ds, cfg, ours_ds = paper_setup
+    idx = list(range(N_VIDEOS))
+    inputs, metas, ingr = rb.reference_batch(ref_ds, idx)
+
+    with torch.no_grad():
+        total, pred_list, ent_list, ac_list = ref_model(
+            inputs["input_ids_list"], inputs["video_features_list"],
+            inputs["input_masks_list"], inputs["token_type_ids_list"],
+            inputs["input_labels_list"], inputs["ingr_input_ids"],
+            inputs["ingr_masks"], inputs["ingr_sep_masks"],
+            inputs["batch_step_num"], inputs["ingr_id_dict"],
+            inputs["extra_zeros"], inputs["alignments"], inputs["actions"],
+            predict=False)
+
+    from svpc_tpu.data.pipeline import batch_examples
+    batch = batch_examples([ours_ds[i] for i in idx])
+    model, params, jbatch = rb.import_weights_into(cfg, ref_model, batch)
+    out = model.apply(params, jbatch, deterministic=True,
+                      rngs={"gumbel": __import__("jax").random.PRNGKey(0)})
+
+    np.testing.assert_allclose(float(out.total_loss), float(total),
+                               rtol=2e-4)
+    for b, pred in enumerate(pred_list):
+        ref_scores = pred.numpy()          # (S_b, T, C_b)
+        s_b, t, c_b = ref_scores.shape
+        got = np.asarray(out.prediction_scores)[b, :s_b, :, :c_b]
+        np.testing.assert_allclose(got, ref_scores, rtol=5e-3, atol=2e-5,
+                                   err_msg=f"scores mismatch ex {b}")
+
+
+def test_greedy_parity_paper_geometry(paper_setup):
+    import torch
+    from types import SimpleNamespace
+
+    ref_model, ref_ds, cfg, ours_ds = paper_setup
+    idx = list(range(N_VIDEOS))
+    inputs, metas, ingr = rb.reference_batch(ref_ds, idx)
+
+    from src.translator import Translator
+    checkpoint = {"model_cfg": ref_model.config,
+                  "model": ref_model.state_dict()}
+    translator = Translator(SimpleNamespace(cuda=False), checkpoint,
+                            model=ref_model)
+    with torch.no_grad():
+        dec_seq_list, _ = translator.translate_batch_greedy(
+            inputs["input_ids_list"], inputs["video_features_list"],
+            inputs["input_masks_list"], inputs["token_type_ids_list"],
+            [e["ingr_ids"] for e in ingr], [e["ingr_mask"] for e in ingr],
+            [torch.LongTensor(e["ingr_sep_mask"]) for e in ingr],
+            [e["ingr_id_dict"] for e in ingr],
+            [e["oov_word_dict"] for e in ingr],
+            inputs["alignments"], inputs["actions"],
+            inputs["batch_step_num"], ref_model)
+
+    # the reference mutates input_ids in-place — rebuild our batch fresh
+    from svpc_tpu.data.pipeline import batch_examples
+    batch = batch_examples([ours_ds[i] for i in idx])
+    model, params, jbatch = rb.import_weights_into(cfg, ref_model, batch)
+
+    from svpc_tpu.decode.greedy import greedy_decode
+    got = np.asarray(greedy_decode(model, params, jbatch))  # (B, S, T)
+
+    for b, ref_seq in enumerate(dec_seq_list):
+        ref_tokens = ref_seq.numpy()       # (S_b, T)
+        s_b = ref_tokens.shape[0]
+        mismatch = (got[b, :s_b] != ref_tokens)
+        assert not mismatch.any(), (
+            f"ex {b}: {mismatch.sum()} token mismatches\n"
+            f"ref:\n{ref_tokens}\ngot:\n{got[b, :s_b]}")
