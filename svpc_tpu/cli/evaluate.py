@@ -39,6 +39,10 @@ def main():
                    help="beam search (a real implementation — the "
                         "reference's flag silently falls back to greedy)")
     p.add_argument("--beam_size", type=int, default=2)
+    p.add_argument("--n_best", type=int, default=1,
+                   help="with --use_beam: keep the top-n ranked hypotheses "
+                        "per step in the submission (reference "
+                        "train.py:546-548 surface)")
     p.add_argument("--torch_checkpoint", action="store_true",
                    help="--checkpoint is a reference PyTorch .chkpt file; "
                         "weights are imported directly (token-for-token "
@@ -53,10 +57,17 @@ def main():
         cfg, args, lambda c: CaptionDataset(c, args.split,
                                             lazy_features=True))
 
-    submission = run_greedy_eval(
-        model, eval_params, ds, cfg,
-        beam_size=args.beam_size if args.use_beam else 0)
-    decode_name = f"beam{args.beam_size}" if args.use_beam else "greedy"
+    if args.use_beam and args.n_best > 1:
+        from svpc_tpu.train.loop import run_nbest_eval
+        submission = run_nbest_eval(model, eval_params, ds, cfg,
+                                    beam_size=args.beam_size,
+                                    n_best=args.n_best)
+        decode_name = f"beam{args.beam_size}_n{args.n_best}"
+    else:
+        submission = run_greedy_eval(
+            model, eval_params, ds, cfg,
+            beam_size=args.beam_size if args.use_beam else 0)
+        decode_name = f"beam{args.beam_size}" if args.use_beam else "greedy"
     sub_path = os.path.join(args.output_dir,
                             f"{decode_name}_pred_{args.split}.json")
     with open(sub_path, "w") as f:

@@ -8,8 +8,14 @@ hypotheses in one ``lax.scan``, with the same masking semantics as the
 greedy decoder (UNK suppressed, per-example OOV-extended columns, copy ids
 tracked in an extended buffer and fed back as UNK).
 
+Runs on both layouts: the dense (B, S, ...) step grid and the packed clip
+layout (data/packing.py) — packed clips decode as a pseudo-batch exactly
+like decode/greedy.py and scatter back onto the (B, S) grid.
+
 Scoring: sum of token log-probabilities with an optional length penalty
-((5+len)/6)^alpha (GNMT); alpha=0 reduces to plain sum.
+((5+len)/6)^alpha (GNMT); alpha=0 reduces to plain sum.  ``n_best > 1``
+returns the ranked top-n hypotheses with their scores (the reference's
+--n_best surface).
 """
 
 from __future__ import annotations
@@ -27,17 +33,32 @@ NEG = -1e9
 
 def beam_decode(model, params, batch, beam_size: int = 2,
                 length_penalty: float = 0.0,
-                use_cache: bool = True) -> jnp.ndarray:
-    """Returns extended token ids (B, S, T) of the best beam.
+                use_cache: bool = True, n_best: int = 1):
+    """Beam-search decode.
+
+    Returns extended token ids (B, S, T) of the best beam when
+    ``n_best == 1``; with ``n_best > 1`` returns ``(tokens, scores)``
+    where tokens is (B, n_best, S, T) ranked best-first and scores is the
+    matching (B, n_best, S) (post length penalty).
 
     ``use_cache=True`` scores each position incrementally with per-layer
     KV caches (O(T) decoder work like the greedy path) — caches are
     gathered alongside the beams on every top-k reorder, bit-identical
     to the full re-run (tests/test_beam.py)."""
     cfg: ModelConfig = model.cfg
-    B, S, L = batch["input_ids"].shape
     T, V, C = cfg.max_t_len, cfg.vocab_size, cfg.extended_vocab_size
     K = beam_size
+    if not 1 <= n_best <= K:
+        raise ValueError(f"n_best={n_best} must be in [1, beam_size={K}]")
+    packed = "clip_video" in batch
+    if packed:
+        # pseudo-batch of packed clips: batch axis N, one step
+        from svpc_tpu.model.svpc import clip_view
+        B, S = batch["clip_input_ids"].shape[0], 1
+        head_batch = clip_view(batch)
+    else:
+        B, S, _ = batch["input_ids"].shape
+        head_batch = batch
 
     state = model.apply(params, batch, deterministic=True,
                         method=type(model).encode)
@@ -45,7 +66,7 @@ def beam_decode(model, params, batch, beam_size: int = 2,
     if cfg.model_mode == "video":
         ext = jnp.full((B,), V, jnp.int32)
     else:
-        ext = (V + batch["oov_count"]).astype(jnp.int32)
+        ext = (V + head_batch["oov_count"]).astype(jnp.int32)
     cols = jnp.arange(C, dtype=jnp.int32)
     col_ok = (cols[None, :] < ext[:, None]) & (cols[None, :] != tok.UNK)
     col_ok = col_ok[:, None, None, :]                  # (B,1,1,C)
@@ -55,7 +76,7 @@ def beam_decode(model, params, batch, beam_size: int = 2,
     def rep(x):
         return jnp.repeat(x, K, axis=0)
 
-    beam_batch = {k: rep(v) for k, v in batch.items()}
+    beam_batch = {k: rep(v) for k, v in head_batch.items()}
     beam_state = jax.tree.map(rep, state)
 
     text_ids0 = jnp.zeros((B, K, S, T), jnp.int32)
@@ -146,7 +167,25 @@ def beam_decode(model, params, batch, beam_size: int = 2,
     if length_penalty > 0:
         norm = ((5.0 + lengths) / 6.0) ** length_penalty
         scores = scores / norm
-    best = jnp.argmax(scores, axis=1)                   # (B,S)
     out = ext_ids if cfg.model_mode != "video" else text_ids
-    return jnp.take_along_axis(
-        out, best[:, None, :, None], axis=1)[:, 0]      # (B,S,T)
+
+    # rank beams best-first and keep n_best
+    order = jnp.argsort(-scores, axis=1)[:, :n_best]    # (B,n,S)
+    ranked_scores = jnp.take_along_axis(scores, order, axis=1)
+    ranked = jnp.take_along_axis(out, order[..., None], axis=1)  # (B,n,S,T)
+
+    if packed:
+        # scatter (N, n, 1, T) clip rows back onto the (Bv, n, Sv, T)
+        # grid (same mechanics as decode/greedy.py, per rank)
+        Bv, Sv = batch["step_mask"].shape
+        cmask = batch["clip_mask"]
+        rows = ranked[:, :, 0] * cmask.astype(ranked.dtype)[:, None, None]
+        ranked = jnp.zeros((Bv, n_best, Sv, T), ranked.dtype).at[
+            batch["clip_video"], :, batch["clip_step"]].add(rows)
+        srows = ranked_scores[:, :, 0] * cmask.astype(scores.dtype)[:, None]
+        ranked_scores = jnp.zeros((Bv, n_best, Sv), scores.dtype).at[
+            batch["clip_video"], :, batch["clip_step"]].add(srows)
+
+    if n_best == 1:
+        return ranked[:, 0]                             # (B,S,T)
+    return ranked, ranked_scores
