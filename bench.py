@@ -1,13 +1,24 @@
-"""Benchmark: svpc_tpu training throughput on one chip vs the PyTorch
-reference on CPU (the reference publishes no numbers and has no GPU here;
-BASELINE.md).
+"""Benchmark: svpc_tpu training + decode throughput on one chip vs the
+PyTorch reference on CPU (the reference publishes no numbers and has no
+GPU here; BASELINE.md).
 
-Prints ONE JSON line:
-  {"metric": "train_clips_per_sec_per_chip", "value": N, "unit":
-   "clips/sec", "vs_baseline": ratio}
+Prints ONE JSON line.  Primary metric is the best train throughput over a
+{8, 32} batch sweep (B=32 is the measured single-chip sweet spot —
+BASELINE.md); ``extras`` records the full sweep and a greedy-decode
+clips/sec measurement so the artifact captures both BASELINE.json targets:
+
+  {"metric": "train_clips_per_sec_per_chip", "value": N,
+   "unit": "clips/sec", "vs_baseline": ratio,
+   "extras": {"train_sweep": {"b8": ..., "b32": ...},
+              "decode_clips_per_sec": ..., "decode_vs_baseline": ...,
+              "dtype": ..., "packed": ...}}
 
 vs_baseline compares against tools/reference_baseline.json (measured with
 tools/bench_reference.py on this machine's CPU, same batch composition).
+
+Env knobs: SVPC_BENCH_BATCH (single batch size instead of the sweep),
+SVPC_BENCH_ITERS, SVPC_BENCH_DTYPE, SVPC_BENCH_PACKED, SVPC_BENCH_DECODE=0
+to skip the decode half.
 """
 
 from __future__ import annotations
@@ -20,58 +31,41 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    from svpc_tpu.config import Config, ModelConfig, TrainConfig
+def _workload(cfg, batch_size, baseline, packed):
+    """Synthetic flagship batch mirroring the baseline's clip composition
+    (full-length clips: no video-span advantage for the packed layout —
+    only step-packing is credited vs the reference workload)."""
     from svpc_tpu.data.synthetic import synthetic_batch
-    from svpc_tpu.model import SVPCModel
-    from svpc_tpu.precision import precision_scope
-    from svpc_tpu.runtime import init_runtime
-    from svpc_tpu.train.optim import make_optimizer
-    from svpc_tpu.train.state import TrainState
-    from svpc_tpu.train.step import make_train_step
 
-    init_runtime()
-
-    batch_size = int(os.environ.get("SVPC_BENCH_BATCH", "8"))
-    iters = int(os.environ.get("SVPC_BENCH_ITERS", "20"))
-    compute_dtype = os.environ.get("SVPC_BENCH_DTYPE", "bfloat16")
-    packed = os.environ.get("SVPC_BENCH_PACKED", "1") == "1"
-
-    # flagship vivt paper config
-    cfg = Config(model=ModelConfig(model_mode="full",
-                                   compute_dtype=compute_dtype),
-                 train=TrainConfig(batch_size=batch_size))
-
-    # reproduce the baseline batch's clip distribution: the reference
-    # baseline measured the first 8 YC2 train videos (tools/
-    # reference_baseline.json: total_clips real steps); our fixed-shape
-    # batch always computes max_n_sen steps, so clips/sec here counts the
-    # same *real* clips for a fair comparison.
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "tools", "reference_baseline.json")
-    baseline = None
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            baseline = json.load(f)
-
-    # full-length clips (98 valid feature rows, like the reference's padded
-    # 100-token spans) so the packed path gets no video-span advantage here
-    # — only the step-packing is credited, mirroring the reference workload
     batch_np = synthetic_batch(cfg, batch_size=batch_size, seed=0,
                                full_steps=True)
     if baseline and baseline.get("step_counts"):
         from svpc_tpu.data.synthetic import apply_step_counts
-        apply_step_counts(batch_np, baseline["step_counts"])
+        counts = baseline["step_counts"]
+        # tile the measured 8-video step profile across bigger batches
+        counts = (counts * ((batch_size + len(counts) - 1) // len(counts))
+                  )[:batch_size]
+        apply_step_counts(batch_np, counts)
     total_clips = float(batch_np["step_mask"].sum())
-
     if packed:
         from svpc_tpu.data.packing import pack_batch
         batch_np = pack_batch(batch_np, cfg.model.max_t_len,
                               clip_multiple=16)
+    return batch_np, total_clips
 
+
+def bench_train(base_cfg, batch_size, iters, packed, baseline):
+    import jax
+    import jax.numpy as jnp
+
+    from svpc_tpu.model import SVPCModel
+    from svpc_tpu.precision import precision_scope
+    from svpc_tpu.train.optim import make_optimizer, training_rng
+    from svpc_tpu.train.state import TrainState
+    from svpc_tpu.train.step import make_train_step
+
+    cfg = base_cfg.replace_train(batch_size=batch_size)
+    batch_np, total_clips = _workload(cfg, batch_size, baseline, packed)
     model = SVPCModel(cfg.model)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
     rngs = {"params": jax.random.PRNGKey(0),
@@ -83,12 +77,12 @@ def main():
         # (values don't affect throughput)
         abstract = jax.eval_shape(
             lambda: model.init(rngs, batch, deterministic=True))
-        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), abstract)
+        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                              abstract)
         tx = make_optimizer(cfg.train, steps_per_epoch=100)
         state = TrainState.create(params, tx, use_ema=True)
         train_step = jax.jit(make_train_step(model, tx, cfg),
                              donate_argnums=0)
-        from svpc_tpu.train.optim import training_rng
         rng = training_rng(3, cfg.train.rng_impl)
 
         # warmup / compile.  NOTE: block_until_ready is a no-op on the
@@ -101,16 +95,91 @@ def main():
             state, m = train_step(state, batch, rng)
         float(m["loss"])
         dt = (time.perf_counter() - t0) / iters
+    return total_clips / dt
 
-    clips_per_sec = total_clips / dt
-    vs_baseline = (clips_per_sec / baseline["train_clips_per_sec"]
+
+def bench_decode(base_cfg, batch_size, iters, packed, baseline):
+    import jax
+    import jax.numpy as jnp
+
+    from svpc_tpu.decode.greedy import greedy_decode
+    from svpc_tpu.model import SVPCModel
+    from svpc_tpu.precision import precision_scope
+
+    cfg = base_cfg.replace_train(batch_size=batch_size)
+    batch_np, total_clips = _workload(cfg, batch_size, baseline, packed)
+    model = SVPCModel(cfg.model)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    with precision_scope(cfg.model):
+        abstract = jax.eval_shape(
+            lambda: model.init(rngs, batch, deterministic=True))
+        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                              abstract)
+        fn = jax.jit(lambda p, b: greedy_decode(model, p, b))
+
+        ids = fn(params, batch)
+        ids[0, 0, 0].item()  # sync (block_until_ready no-op on axon)
+
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            ids = fn(params, batch)
+        ids[0, 0, 0].item()
+        dt = (time.perf_counter() - t0) / iters
+    return total_clips / dt
+
+
+def main():
+    from svpc_tpu.config import Config, ModelConfig, TrainConfig
+    from svpc_tpu.runtime import init_runtime
+
+    init_runtime()
+
+    iters = int(os.environ.get("SVPC_BENCH_ITERS", "20"))
+    compute_dtype = os.environ.get("SVPC_BENCH_DTYPE", "bfloat16")
+    packed = os.environ.get("SVPC_BENCH_PACKED", "1") == "1"
+    env_batch = os.environ.get("SVPC_BENCH_BATCH")
+    sweep = [int(env_batch)] if env_batch else [8, 32]
+    run_decode = os.environ.get("SVPC_BENCH_DECODE", "1") == "1"
+
+    # flagship vivt paper config
+    base_cfg = Config(model=ModelConfig(model_mode="full",
+                                        compute_dtype=compute_dtype),
+                      train=TrainConfig())
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "tools", "reference_baseline.json")
+    baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+
+    train_sweep = {}
+    for b in sweep:
+        train_sweep[f"b{b}"] = round(
+            bench_train(base_cfg, b, iters, packed, baseline), 2)
+    best = max(train_sweep.values())
+    vs_baseline = (best / baseline["train_clips_per_sec"]
                    if baseline else None)
+
+    extras = {"train_sweep": train_sweep, "dtype": compute_dtype,
+              "packed": packed}
+    if run_decode:
+        dec = bench_decode(base_cfg, max(sweep), max(iters // 2, 5),
+                           packed, baseline)
+        extras["decode_clips_per_sec"] = round(dec, 2)
+        if baseline:
+            extras["decode_vs_baseline"] = round(
+                dec / baseline["decode_clips_per_sec"], 2)
 
     print(json.dumps({
         "metric": "train_clips_per_sec_per_chip",
-        "value": round(clips_per_sec, 2),
+        "value": best,
         "unit": "clips/sec",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "extras": extras,
     }))
 
 
