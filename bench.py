@@ -71,6 +71,7 @@ def bench_train(base_cfg, batch_size, iters, packed, baseline):
     rngs = {"params": jax.random.PRNGKey(0),
             "dropout": jax.random.PRNGKey(1),
             "gumbel": jax.random.PRNGKey(2)}
+    opt_dtype = cfg.train.optimizer_dtype
 
     with precision_scope(cfg.model):
         # zero params from an abstract template: skips the init compile
@@ -80,7 +81,8 @@ def bench_train(base_cfg, batch_size, iters, packed, baseline):
         params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
                               abstract)
         tx = make_optimizer(cfg.train, steps_per_epoch=100)
-        state = TrainState.create(params, tx, use_ema=True)
+        state = TrainState.create(params, tx, use_ema=True,
+                                  ema_dtype=opt_dtype)
         train_step = jax.jit(make_train_step(model, tx, cfg),
                              donate_argnums=0)
         rng = training_rng(3, cfg.train.rng_impl)
@@ -139,6 +141,7 @@ def main():
 
     iters = int(os.environ.get("SVPC_BENCH_ITERS", "20"))
     compute_dtype = os.environ.get("SVPC_BENCH_DTYPE", "bfloat16")
+    opt_dtype = os.environ.get("SVPC_BENCH_OPT_DTYPE", "float32")
     packed = os.environ.get("SVPC_BENCH_PACKED", "1") == "1"
     env_batch = os.environ.get("SVPC_BENCH_BATCH")
     sweep = [int(env_batch)] if env_batch else [8, 32]
@@ -147,7 +150,7 @@ def main():
     # flagship vivt paper config
     base_cfg = Config(model=ModelConfig(model_mode="full",
                                         compute_dtype=compute_dtype),
-                      train=TrainConfig())
+                      train=TrainConfig(optimizer_dtype=opt_dtype))
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "tools", "reference_baseline.json")

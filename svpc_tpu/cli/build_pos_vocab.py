@@ -3,12 +3,17 @@ cache/pos_vocab_word2idx.json).
 
 The reference runs spaCy offline with hard-coded author paths
 (build_pos_vocab.py:51) to (a) build a VERB/NOUN vocabulary from training
-sentences and (b) attach per-step ``pos`` annotations.  This CLI does the
-same with a pluggable tagger: spaCy when an en model is installed,
-otherwise nltk's perceptron tagger when its data is present; it degrades
-with a clear message otherwise (both need downloadable model data, which
-an air-gapped host may not have — the shipped cache/pos_vocab_word2idx.json
-from the reference remains usable as-is).
+sentences (ids from 0 in first-seen order, no specials — exactly the
+shipped cache/pos_vocab_word2idx.json schema) and (b) attach per-step
+``pos`` word lists into the anet-format annotation JSONs
+(build_pos_vocab.py:32-46: ``val["pos"] = [[word, ...], ...]``, only
+words present in the vocab).  This CLI does the same with a pluggable
+tagger: spaCy when an en model is installed, otherwise nltk's perceptron
+tagger when its data is present; it degrades with a clear message
+otherwise (both need downloadable model data, which an air-gapped host
+may not have — the shipped cache/pos_vocab_word2idx.json remains usable
+as-is).  Unlike the reference, annotated copies are written to --out_dir
+instead of overwriting the input files.
 """
 
 from __future__ import annotations
@@ -20,8 +25,10 @@ from typing import Callable, List, Optional, Tuple
 
 from svpc_tpu.tokenization import word_tokenize
 
+Tagger = Callable[[str], List[Tuple[str, str]]]
 
-def spacy_tagger() -> Optional[Callable[[str], List[Tuple[str, str]]]]:
+
+def spacy_tagger() -> Optional[Tagger]:
     try:
         import spacy
         nlp = spacy.load("en_core_web_sm", disable=["parser", "ner"])
@@ -33,7 +40,7 @@ def spacy_tagger() -> Optional[Callable[[str], List[Tuple[str, str]]]]:
     return tag
 
 
-def nltk_tagger() -> Optional[Callable[[str], List[Tuple[str, str]]]]:
+def nltk_tagger() -> Optional[Tagger]:
     try:
         import nltk
         nltk.pos_tag(["test"])  # raises if tagger data is missing
@@ -54,28 +61,44 @@ def nltk_tagger() -> Optional[Callable[[str], List[Tuple[str, str]]]]:
     return tag
 
 
-def build_pos_vocab(annotations: dict, tag) -> Tuple[dict, dict]:
-    """Returns (pos word2idx over VERB/NOUN tokens, per-video pos lists)."""
-    word2idx = {"[PAD]": 0, "[UNK]": 1}
-    pos_annotations = {}
+def build_pos_vocab(annotations: dict, tag: Tagger) -> dict:
+    """VERB/NOUN word2idx over all training sentences — ids from 0 in
+    first-seen order, no special tokens (reference build_pos_vocab.py:
+    16-30; matches the shipped cache/pos_vocab_word2idx.json exactly:
+    1558 entries, min id 0, no [PAD]/[UNK])."""
+    word2idx: dict = {}
     for vid, ann in annotations.items():
-        vid_pos = []
         for sentence in ann["sentences"]:
-            tags = tag(sentence.lower())
-            step = [(w, p) for w, p in tags if p in ("VERB", "NOUN")]
-            for w, p in step:
-                if w not in word2idx:
+            for w, p in tag(sentence):
+                if p in ("VERB", "NOUN") and w not in word2idx:
                     word2idx[w] = len(word2idx)
-            vid_pos.append(step)
-        pos_annotations[vid] = vid_pos
-    return word2idx, pos_annotations
+    return word2idx
+
+
+def attach_pos(annotations: dict, word2idx: dict, tag: Tagger) -> dict:
+    """Attach ``val["pos"] = [[word, ...] per step]`` keeping only
+    VERB/NOUN words present in the vocab (reference
+    build_pos_vocab.py:32-46).  Returns the (mutated) annotations."""
+    for vid, ann in annotations.items():
+        step_pos_words = []
+        for sentence in ann["sentences"]:
+            step_pos_words.append(
+                [w for w, p in tag(sentence)
+                 if p in ("VERB", "NOUN") and w in word2idx])
+        ann["pos"] = step_pos_words
+    return annotations
 
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--train_path", required=True)
+    p.add_argument("--train_path", required=True,
+                   help="anet-format training annotations (vocab source)")
+    p.add_argument("--attach", nargs="*", default=[],
+                   help="additional anet-format files to attach 'pos' "
+                        "lists to (e.g. the val split)")
     p.add_argument("--cache", default="./cache")
-    p.add_argument("--dset_name", default="yc2")
+    p.add_argument("--out_dir", default=None,
+                   help="where pos-annotated copies go (default: --cache)")
     args = p.parse_args()
 
     tagger = spacy_tagger() or nltk_tagger()
@@ -87,15 +110,23 @@ def main():
 
     with open(args.train_path) as f:
         annotations = json.load(f)
-    word2idx, pos_annotations = build_pos_vocab(annotations, tagger)
+    word2idx = build_pos_vocab(annotations, tagger)
     os.makedirs(args.cache, exist_ok=True)
     out = os.path.join(args.cache, "pos_vocab_word2idx.json")
     with open(out, "w") as f:
-        json.dump(word2idx, f, indent=2)
-    pos_out = os.path.join(args.cache, f"{args.dset_name}_pos_annotations.json")
-    with open(pos_out, "w") as f:
-        json.dump(pos_annotations, f)
+        json.dump(word2idx, f)
     print(f"pos vocab size {len(word2idx)} -> {out}")
+
+    out_dir = args.out_dir or args.cache
+    os.makedirs(out_dir, exist_ok=True)
+    for path in [args.train_path] + list(args.attach):
+        with open(path) as f:
+            anns = json.load(f)
+        attach_pos(anns, word2idx, tagger)
+        dst = os.path.join(out_dir, os.path.basename(path))
+        with open(dst, "w") as f:
+            json.dump(anns, f)
+        print(f"pos-annotated -> {dst}")
 
 
 if __name__ == "__main__":

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 from svpc_tpu.config import (
     MODEL_TYPE_TO_MODE, Config, DataConfig, ModelConfig, TrainConfig)
@@ -72,6 +73,11 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--label_smoothing", type=float, default=0.1)
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--optimizer_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype of Adam moments + EMA shadow "
+                        "(bfloat16 halves optimizer HBM traffic; math "
+                        "stays f32)")
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--dp_size", type=int, default=1)
     p.add_argument("--tp_size", type=int, default=1,
@@ -140,6 +146,7 @@ def config_from_args(args) -> Config:
             ema_decay=args.ema_decay, freeze_glove=args.freeze_glove,
             dp_size=args.dp_size,
             tp_size=getattr(args, "tp_size", 1),
+            optimizer_dtype=getattr(args, "optimizer_dtype", "float32"),
             grad_accum_steps=args.grad_accum_steps,
             pack_clips=not args.no_pack_clips,
             length_group=args.length_group,
@@ -161,6 +168,21 @@ def load_eval_model(cfg: Config, args, make_ds):
         from svpc_tpu.model.load_reference import import_reference_checkpoint
         cfg, model, eval_params = import_reference_checkpoint(
             args.checkpoint, cfg)
+    else:
+        # adopt training-time fields that change the stored tree from the
+        # checkpoint's cfg sidecar: a tp>1 run pads vocab tables
+        # (vocab_pad_multiple → 952-row embeddings) and optimizer_dtype
+        # bfloat16 stores m/v/EMA rounded — without these the restore
+        # template's shapes/dtypes can't match the checkpoint.
+        sidecar = os.path.abspath(args.checkpoint) + ".cfg.json"
+        if os.path.exists(sidecar):
+            saved = Config.from_json(sidecar)
+            if saved.model.vocab_pad_multiple != cfg.model.vocab_pad_multiple:
+                cfg = cfg.replace_model(
+                    vocab_pad_multiple=saved.model.vocab_pad_multiple)
+            if saved.train.optimizer_dtype != cfg.train.optimizer_dtype:
+                cfg = cfg.replace_train(
+                    optimizer_dtype=saved.train.optimizer_dtype)
     ds = make_ds(cfg)
     if len(ds) == 0:
         # e.g. every feature file missing — fail with the reason instead

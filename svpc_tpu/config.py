@@ -172,9 +172,21 @@ class TrainConfig:
     # the parameters permanently through the clip.  The skipped count is
     # reported per epoch.  No effect on finite steps (parity unchanged).
     skip_nonfinite_updates: bool = True
+    # storage dtype of the Adam moments (m, v) and the EMA shadow.
+    # "bfloat16" halves the optimizer slice's HBM traffic (the measured
+    # single-chip bottleneck at this geometry — DESIGN.md §7); all moment/
+    # EMA math still runs in float32, only the carried state is rounded.
+    # Default float32 = bit-exact reference parity (tests/test_optim.py).
+    optimizer_dtype: str = "float32"
     # parallelism
     dp_size: int = 1                # data-parallel mesh axis
-    tp_size: int = 1                # tensor-parallel mesh axis (reserved)
+    tp_size: int = 1                # tensor-parallel mesh axis
+    # pipeline-parallel stage count: config stub only (must be 1).  At 2
+    # encoder + 2 decoder layers a pipeline is all bubble — see
+    # docs/DESIGN.md §5 for the (dp, pp, tp) design a deeper model would
+    # activate (1F1B inside shard_map, ppermute stage hand-offs,
+    # microbatches = grad_accum_steps).
+    pp_size: int = 1
     donate_state: bool = True
     # clip packing (data/packing.py): compute only real clips instead of
     # the padded (B, S) grid, with video-span bucketing.  Bit-equivalent
@@ -196,6 +208,15 @@ class TrainConfig:
     # packed batches of similar clip length get small video-span buckets.
     # 0 = uniform shuffle (the reference's behavior).
     length_group: int = 0
+
+    def __post_init__(self):
+        if self.pp_size != 1:
+            raise NotImplementedError(
+                "pipeline parallelism is a config stub: at 2 encoder + 2 "
+                "decoder layers a pipeline is all bubble.  See "
+                "docs/DESIGN.md §5 for the (dp, pp, tp) design a deeper "
+                "model would activate; use dp_size/tp_size to scale this "
+                "one.")
 
 
 @dataclass(frozen=True)

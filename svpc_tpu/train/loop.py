@@ -155,7 +155,8 @@ def restore_train_state(cfg: Config, sample_batch, checkpoint_path: str):
     model, params = init_model(cfg, sample_batch, abstract=True)
     tx = make_optimizer(cfg.train, 1)
     state = jax.eval_shape(functools.partial(
-        TrainState.create, tx=tx, use_ema=cfg.train.ema_decay > 0), params)
+        TrainState.create, tx=tx, use_ema=cfg.train.ema_decay > 0,
+        ema_dtype=cfg.train.optimizer_dtype), params)
     return model, load_checkpoint(checkpoint_path, state)
 
 
@@ -322,7 +323,8 @@ def train(cfg: Config, workdir: str,
     # the LR schedule counts OPTIMIZER steps, of which accumulation takes
     # one per `accum` host batches
     tx = make_optimizer(cfg.train, math.ceil(steps_per_epoch / accum))
-    state = TrainState.create(params, tx, use_ema=cfg.train.ema_decay > 0)
+    state = TrainState.create(params, tx, use_ema=cfg.train.ema_decay > 0,
+                              ema_dtype=cfg.train.optimizer_dtype)
     start_epoch = 0
     if resume_from:
         from svpc_tpu.train.state import load_checkpoint

@@ -99,13 +99,22 @@ def bert_adam(
     eps: float = 1e-6,
     weight_decay: float = 0.01,
     max_grad_norm: float = 1.0,
+    state_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
+    """``state_dtype="bfloat16"`` stores the carried moments rounded
+    (halving their HBM traffic — the optimizer slice is HBM-roofline at
+    this geometry); all moment math runs in float32 regardless.  None/
+    "float32" is the bit-exact reference trajectory (tests/test_optim.py).
+    """
     sched = lr_schedule_fn(schedule, warmup, t_total)
+    sdt = (jnp.bfloat16 if state_dtype == "bfloat16" else None)
 
     def init_fn(params):
-        zeros = jax.tree.map(jnp.zeros_like, params)
-        return BertAdamState(step=jnp.zeros((), jnp.int32), m=zeros,
-                             v=jax.tree.map(jnp.zeros_like, params))
+        def z(p):
+            return jnp.zeros(p.shape, sdt or p.dtype)
+        return BertAdamState(step=jnp.zeros((), jnp.int32),
+                             m=jax.tree.map(z, params),
+                             v=jax.tree.map(z, params))
 
     def update_fn(grads, state, params):
         assert params is not None
@@ -119,9 +128,13 @@ def bert_adam(
             return g * scale
 
         grads = jax.tree.map(clip, grads)
-        m = jax.tree.map(lambda mm, g: b1 * mm + (1 - b1) * g, state.m, grads)
-        v = jax.tree.map(lambda vv, g: b2 * vv + (1 - b2) * g * g,
-                         state.v, grads)
+        # moment math in f32 even when the carried state is bf16
+        m = jax.tree.map(
+            lambda mm, g: b1 * mm.astype(jnp.float32) + (1 - b1) * g,
+            state.m, grads)
+        v = jax.tree.map(
+            lambda vv, g: b2 * vv.astype(jnp.float32) + (1 - b2) * g * g,
+            state.v, grads)
         lr_t = lr * sched(state.step.astype(jnp.float32))
 
         def upd(mm, vv, p, decays):
@@ -131,6 +144,9 @@ def bert_adam(
             return -lr_t * u
 
         updates = jax.tree.map(upd, m, v, params, decay_mask)
+        if sdt is not None:
+            m = jax.tree.map(lambda x: x.astype(sdt), m)
+            v = jax.tree.map(lambda x: x.astype(sdt), v)
         return updates, BertAdamState(step=state.step + 1, m=m, v=v)
 
     return optax.GradientTransformation(init_fn, update_fn)
@@ -163,7 +179,8 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int
     chain.append(bert_adam(
         lr=cfg.lr, schedule=cfg.lr_schedule, warmup=cfg.lr_warmup_proportion,
         t_total=t_total, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
-        weight_decay=cfg.weight_decay))
+        weight_decay=cfg.weight_decay,
+        state_dtype=getattr(cfg, "optimizer_dtype", None)))
     if cfg.freeze_glove:
         def zero_frozen(updates, state, params=None):
             del params
@@ -177,6 +194,10 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int
 
 def ema_update(shadow, params, step, decay: float):
     """shadow <- (1-d)*param + d*shadow, d = min(decay, (1+step)/(10+step))
-    (reference optimization.py:196-203; step is the global iteration)."""
+    (reference optimization.py:196-203; step is the global iteration).
+    A bf16 shadow (TrainConfig.optimizer_dtype) blends in f32 and stores
+    rounded."""
     d = jnp.minimum(decay, (1.0 + step) / (10.0 + step))
-    return jax.tree.map(lambda s, p: (1.0 - d) * p + d * s, shadow, params)
+    return jax.tree.map(
+        lambda s, p: ((1.0 - d) * p + d * s.astype(p.dtype)).astype(s.dtype),
+        shadow, params)

@@ -31,21 +31,33 @@ class TrainState:
 
     @classmethod
     def create(cls, params, tx: optax.GradientTransformation,
-               use_ema: bool) -> "TrainState":
+               use_ema: bool, ema_dtype: Optional[str] = None
+               ) -> "TrainState":
+        """``ema_dtype="bfloat16"`` stores the EMA shadow rounded
+        (TrainConfig.optimizer_dtype); blending stays f32 (optim.py)."""
+        def shadow(p):
+            if ema_dtype == "bfloat16":
+                return p.astype(jnp.bfloat16)
+            return jnp.copy(p)
         return cls(
             params=params,
             opt_state=tx.init(params["params"]),
-            ema_shadow=jax.tree.map(jnp.copy, params["params"]) if use_ema else None,
+            ema_shadow=(jax.tree.map(shadow, params["params"])
+                        if use_ema else None),
             step=jnp.zeros((), jnp.int32),
             epoch=jnp.zeros((), jnp.int32),
         )
 
     def eval_params(self):
         """Parameters used for evaluation: the EMA shadow when enabled
-        (reference evaluates the EMA-assigned model, train.py:393-395)."""
+        (reference evaluates the EMA-assigned model, train.py:393-395).
+        A bf16 shadow is widened back to the parameter dtype so eval
+        numerics are governed solely by ModelConfig.compute_dtype."""
         if self.ema_shadow is None:
             return self.params
-        return {"params": self.ema_shadow}
+        shadow = jax.tree.map(lambda s, p: s.astype(p.dtype),
+                              self.ema_shadow, self.params["params"])
+        return {"params": shadow}
 
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, cfg: Config,

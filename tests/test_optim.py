@@ -135,3 +135,88 @@ def test_freeze_glove_zeroes_table_updates():
         assert float(jnp.abs(u).max()) == 0.0
     live = updates["encoder"]["layer_0"]["attention"]["self"]["query"]["kernel"]
     assert float(jnp.abs(live).max()) > 0.0
+
+
+def test_bf16_optimizer_state_tracks_f32():
+    """optimizer_dtype="bfloat16" stores moments rounded but must track
+    the f32 trajectory closely on a quadratic (math stays f32), and the
+    carried m/v leaves really are bf16 (round-1 VERDICT item 8)."""
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.train.optim import BertAdamState, bert_adam
+
+    rng = np.random.RandomState(1)
+    w0 = rng.randn(8, 8).astype(np.float32)
+    x = rng.randn(32, 8).astype(np.float32)
+    y = rng.randn(32, 8).astype(np.float32)
+
+    def loss_fn(p):
+        return jnp.sum((jnp.asarray(x) @ p["dense"]["kernel"]
+                        - jnp.asarray(y)) ** 2)
+
+    def run(state_dtype):
+        params = {"dense": {"kernel": jnp.asarray(w0)}}
+        tx = bert_adam(lr=1e-3, schedule="warmup_linear", warmup=0.2,
+                       t_total=50, state_dtype=state_dtype)
+        state = tx.init(params)
+        for _ in range(10):
+            grads = jax.grad(loss_fn)(params)
+            updates, state = tx.update(grads, state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, state
+
+    p32, _ = run(None)
+    p16, s16 = run("bfloat16")
+    inner = s16
+    while not isinstance(inner, BertAdamState):
+        inner = [s for s in inner if hasattr(s, "m")][0]
+    for leaf in jax.tree.leaves(inner.m) + jax.tree.leaves(inner.v):
+        assert leaf.dtype == jnp.bfloat16
+    # params themselves stay f32 and stay close to the f32 trajectory
+    a, b = np.asarray(p16["dense"]["kernel"]), np.asarray(p32["dense"]["kernel"])
+    assert a.dtype == np.float32
+    np.testing.assert_allclose(a, b, rtol=0, atol=2e-4)
+
+
+def test_bf16_ema_shadow_and_eval_params():
+    """bf16 EMA shadow (TrainConfig.optimizer_dtype): stored rounded,
+    updated through ema_update without dtype drift, widened to f32 by
+    eval_params, and still protected by the nonfinite-update guard."""
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.config import tiny_test_config
+    from svpc_tpu.train.optim import make_optimizer
+    from svpc_tpu.train.state import TrainState
+    from svpc_tpu.train.step import make_apply_step
+
+    cfg = tiny_test_config("video")
+    cfg = cfg.replace_train(optimizer_dtype="bfloat16")
+    params = {"params": {"dense": {
+        "kernel": jnp.asarray(np.random.RandomState(0)
+                              .randn(4, 4).astype(np.float32))}}}
+    tx = make_optimizer(cfg.train, steps_per_epoch=10)
+    state = TrainState.create(params, tx, use_ema=True,
+                              ema_dtype=cfg.train.optimizer_dtype)
+    assert all(l.dtype == jnp.bfloat16
+               for l in jax.tree.leaves(state.ema_shadow))
+    # eval params come back widened to the parameter dtype
+    ev = state.eval_params()
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(ev))
+
+    apply_step = make_apply_step(tx, cfg)
+    grads = jax.tree.map(jnp.ones_like, params["params"])
+    state2, m = apply_step(state, grads)
+    assert int(m["nonfinite_skipped"]) == 0
+    assert all(l.dtype == jnp.bfloat16
+               for l in jax.tree.leaves(state2.ema_shadow))
+    # nonfinite guard: nan grads leave every (bf16) slice untouched
+    nan_grads = jax.tree.map(lambda g: jnp.full_like(g, jnp.nan), grads)
+    state3, m3 = apply_step(state2, nan_grads)
+    assert int(m3["nonfinite_skipped"]) == 1
+    for a, b in zip(jax.tree.leaves(state2.ema_shadow),
+                    jax.tree.leaves(state3.ema_shadow)):
+        np.testing.assert_array_equal(np.asarray(a).view(np.uint16),
+                                      np.asarray(b).view(np.uint16))
+    for a, b in zip(jax.tree.leaves(state2.params),
+                    jax.tree.leaves(state3.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
