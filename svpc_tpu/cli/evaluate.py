@@ -14,7 +14,7 @@ import os
 
 from svpc_tpu.cli.common import (add_common_args, config_from_args,
                                  load_eval_model)
-from svpc_tpu.data.anet import PARA_REFERENCE_FILES
+from svpc_tpu.data.anet import para_reference_files
 from svpc_tpu.data.pipeline import CaptionDataset
 from svpc_tpu.evaluation.ingredient_f1 import (
     build_ingredient_dictionary, ingredient_f1)
@@ -75,11 +75,12 @@ def main():
     logger.info("submission written to %s", sub_path)
 
     metrics = {}
-    para_file = PARA_REFERENCE_FILES.get(args.split)
-    if para_file:
-        ref_para_path = os.path.join(cfg.data.data_dir, para_file)
-        if os.path.exists(ref_para_path):
-            metrics = evaluate_submission(submission, ref_para_path)
+    ref_paths = [os.path.join(cfg.data.data_dir, f)
+                 for f in para_reference_files(cfg.data.dset_name,
+                                               args.split)]
+    ref_paths = [p for p in ref_paths if os.path.exists(p)]
+    if ref_paths:
+        metrics = evaluate_submission(submission, ref_paths)
 
     if args.ingredient_f1:
         with open(os.path.join(

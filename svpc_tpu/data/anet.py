@@ -22,6 +22,23 @@ PARA_REFERENCE_FILES = {
     "test": "yc2_split_test_anet_format_para.json",
 }
 
+# anet carries TWO human reference paragraphs per split; scorers consume
+# them as a multi-reference list (reference: src/test.py:87-93).
+ANET_PARA_REFERENCE_FILES = {
+    "val": ["anet_entities_val_1_para.json", "anet_entities_val_2_para.json"],
+    "test": ["anet_entities_test_1_para.json",
+             "anet_entities_test_2_para.json"],
+}
+
+
+def para_reference_files(dset_name: str, split: str) -> List[str]:
+    """Paragraph ground-truth files for a split (reference
+    src/test.py:85-94: 2 files for anet, 1 for yc2; none for train)."""
+    if dset_name == "anet":
+        return list(ANET_PARA_REFERENCE_FILES.get(split, []))
+    f = PARA_REFERENCE_FILES.get(split)
+    return [f] if f else []
+
 
 def load_annotations(data_dir: str, split: str, max_n_sen: int) -> List[dict]:
     """Load one split; truncate each video to ``max_n_sen`` clips

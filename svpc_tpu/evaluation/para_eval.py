@@ -46,14 +46,25 @@ def submission_to_paragraphs(results: Dict) -> Dict[str, str]:
     return _ensure_caption_key(para)
 
 
-def evaluate_language(results: Dict, reference_paragraphs: Dict,
+def evaluate_language(results: Dict, reference_paragraphs,
                       include_meteor: bool = True) -> Dict[str, float]:
-    """Paragraph-level BLEU1-4 / METEOR / ROUGE_L / CIDEr."""
-    predictions = submission_to_paragraphs(results)
-    gt = _ensure_caption_key(reference_paragraphs)
+    """Paragraph-level BLEU1-4 / METEOR / ROUGE_L / CIDEr.
 
-    vids = list(gt.keys())
-    gts = {i: [" ".join(parse_sent(gt[k]))] for i, k in enumerate(vids)}
+    ``reference_paragraphs`` is one {vid: paragraph} dict or a list of
+    them — multiple dicts become a multi-reference list per video over
+    the UNION of their vids (para-evaluate.py:114-122; anet ships two
+    human references per split, yc2 one)."""
+    predictions = submission_to_paragraphs(results)
+    refs = (reference_paragraphs
+            if isinstance(reference_paragraphs, list)
+            else [reference_paragraphs])
+    refs = [_ensure_caption_key(r) for r in refs]
+
+    vids = []
+    for r in refs:
+        vids.extend(k for k in r if k not in vids)
+    gts = {i: [" ".join(parse_sent(r[k])) for r in refs if k in r]
+           for i, k in enumerate(vids)}
     res = {
         i: [" ".join(parse_sent(predictions[k]))]
         if k in predictions and len(predictions[k]) > 0 else [""]
@@ -74,18 +85,27 @@ def evaluate_language(results: Dict, reference_paragraphs: Dict,
 
 
 def evaluate_submission(
-    submission: Dict, reference_para_path: str,
+    submission: Dict, reference_para_path,
     reference_anet_path: Optional[str] = None,
     include_meteor: bool = True,
 ) -> Dict:
     """Full metric bundle for one submission dict
-    ({"results": {vid: [...]}} anet format)."""
+    ({"results": {vid: [...]}} anet format).  ``reference_para_path`` is
+    one path or a list of paths (multi-reference, reference
+    src/test.py:85-94)."""
     results = submission["results"] if "results" in submission else submission
-    with open(reference_para_path) as f:
-        ref_para = json.load(f)
+    paths = (reference_para_path
+             if isinstance(reference_para_path, list)
+             else [reference_para_path])
+    ref_paras = []
+    for p in paths:
+        with open(p) as f:
+            ref_paras.append(json.load(f))
 
-    metrics = evaluate_language(results, ref_para, include_meteor)
-    gt_vids = ref_para
+    metrics = evaluate_language(results, ref_paras, include_meteor)
+    # repetition/caption-stats are single-reference tools in the
+    # reference chain (train.py:308-331) — score against the first file
+    gt_vids = ref_paras[0]
     metrics.update(evaluate_repetition(results, gt_vids))
     stats = caption_stats(results, gt_vids)
     metrics["submission_stat"] = stats.get("submission")

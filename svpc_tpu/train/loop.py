@@ -375,8 +375,15 @@ def train(cfg: Config, workdir: str,
     valid_log = open_log(
         "valid.log.csv", "epoch,loss,ppl,accuracy,METEOR,BLEU@4,CIDEr,re4\n")
 
-    ref_para_path = os.path.join(
-        cfg.data.data_dir, "yc2_split_val_anet_format_para.json")
+    from svpc_tpu.data.anet import para_reference_files
+    ref_para_path = [p for p in
+                     (os.path.join(cfg.data.data_dir, f)
+                      for f in para_reference_files(cfg.data.dset_name, "val"))
+                     if os.path.exists(p)]
+    if eval_language and not ref_para_path:
+        logger.warning("no paragraph reference files found for %s/val — "
+                       "language eval disabled", cfg.data.dset_name)
+        eval_language = False
 
     val_builder = eval_packing_builder(
         cfg, mesh, val_ds, cfg.train.val_batch_size) if len(val_ds) else None

@@ -153,3 +153,35 @@ def test_meteor_fixture_jar_delta():
     jar_mean, jar_scores = JarMeteor().compute_score(gts, res)
     approx_mean, approx_scores = approximate_meteor(gts, res)
     assert abs(jar_mean - approx_mean) <= 0.03
+
+
+def test_multi_reference_para_eval():
+    """anet ships TWO reference paragraphs per split; evaluate_language
+    must score over the UNION of vids with per-video multi-reference
+    lists (reference para-evaluate.py:114-122 + src/test.py:85-94)."""
+    from svpc_tpu.evaluation.para_eval import evaluate_language
+
+    results = {
+        "a": [{"sentence": "stir the onions"}],
+        "b": [{"sentence": "boil water"}],
+    }
+    ref1 = {"a": "chop the carrots. "}  # vid "b" only in ref2
+    ref2 = {"a": "stir the onions. ", "b": "boil water. "}
+
+    multi = evaluate_language(results, [ref1, ref2], include_meteor=False)
+    # prediction for "a" exactly matches its ref2 reference and "b"
+    # matches its only reference -> multi-ref BLEU-1 is perfect
+    assert multi["Bleu_1"] > 0.999
+    # single (mismatching) reference scores strictly lower and drops "b"
+    single = evaluate_language(results, ref1, include_meteor=False)
+    assert single["Bleu_1"] < multi["Bleu_1"]
+
+
+def test_para_reference_files_map():
+    from svpc_tpu.data.anet import para_reference_files
+
+    assert para_reference_files("yc2", "val") == [
+        "yc2_split_val_anet_format_para.json"]
+    assert para_reference_files("anet", "test") == [
+        "anet_entities_test_1_para.json", "anet_entities_test_2_para.json"]
+    assert para_reference_files("yc2", "train") == []
