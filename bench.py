@@ -141,7 +141,13 @@ def main():
 
     iters = int(os.environ.get("SVPC_BENCH_ITERS", "20"))
     compute_dtype = os.environ.get("SVPC_BENCH_DTYPE", "bfloat16")
-    opt_dtype = os.environ.get("SVPC_BENCH_OPT_DTYPE", "float32")
+    # bf16 Adam/EMA state is the production training configuration (math
+    # stays f32; parity path unaffected — tests/test_optim.py): the
+    # optimizer slice is the measured HBM-roofline piece of the step, so
+    # halving its bytes is the honest best config.  Override with
+    # SVPC_BENCH_OPT_DTYPE=float32 for the bit-exact-reference trajectory
+    # (~1.4% slower at B=32, BASELINE.md).
+    opt_dtype = os.environ.get("SVPC_BENCH_OPT_DTYPE", "bfloat16")
     packed = os.environ.get("SVPC_BENCH_PACKED", "1") == "1"
     env_batch = os.environ.get("SVPC_BENCH_BATCH")
     sweep = [int(env_batch)] if env_batch else [8, 32]
@@ -168,9 +174,12 @@ def main():
                    if baseline else None)
 
     extras = {"train_sweep": train_sweep, "dtype": compute_dtype,
-              "packed": packed}
+              "optimizer_dtype": opt_dtype, "packed": packed}
     if run_decode:
-        dec = bench_decode(base_cfg, max(sweep), max(iters // 2, 5),
+        # decode keeps scaling past the train sweet spot (B=64 measured
+        # above B=32/48 — serving numbers in BASELINE.md)
+        decode_batch = int(os.environ.get("SVPC_BENCH_DECODE_BATCH", "64"))
+        dec = bench_decode(base_cfg, decode_batch, max(iters // 2, 5),
                            packed, baseline)
         extras["decode_clips_per_sec"] = round(dec, 2)
         if baseline:
