@@ -108,6 +108,16 @@ def main():
             "averaged_perceptron_tagger data.  (The reference's published "
             "cache/pos_vocab_word2idx.json can be used directly instead.)")
 
+    # tagging dominates wall-clock and every train sentence is tagged
+    # twice (vocab build + pos attach): memoize per sentence
+    _memo: dict = {}
+    raw_tagger = tagger
+
+    def tagger(sentence, _memo=_memo, _tag=raw_tagger):
+        if sentence not in _memo:
+            _memo[sentence] = _tag(sentence)
+        return _memo[sentence]
+
     with open(args.train_path) as f:
         annotations = json.load(f)
     word2idx = build_pos_vocab(annotations, tagger)
@@ -120,8 +130,11 @@ def main():
     out_dir = args.out_dir or args.cache
     os.makedirs(out_dir, exist_ok=True)
     for path in [args.train_path] + list(args.attach):
-        with open(path) as f:
-            anns = json.load(f)
+        if path == args.train_path:
+            anns = annotations  # already loaded (and its tags memoized)
+        else:
+            with open(path) as f:
+                anns = json.load(f)
         attach_pos(anns, word2idx, tagger)
         dst = os.path.join(out_dir, os.path.basename(path))
         with open(dst, "w") as f:

@@ -183,6 +183,9 @@ def load_eval_model(cfg: Config, args, make_ds):
             if saved.train.optimizer_dtype != cfg.train.optimizer_dtype:
                 cfg = cfg.replace_train(
                     optimizer_dtype=saved.train.optimizer_dtype)
+            if saved.train.ema_decay != cfg.train.ema_decay:
+                # ema_decay=0 runs carry no ema_shadow entry at all
+                cfg = cfg.replace_train(ema_decay=saved.train.ema_decay)
     ds = make_ds(cfg)
     if len(ds) == 0:
         # e.g. every feature file missing — fail with the reason instead

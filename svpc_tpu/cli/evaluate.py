@@ -48,6 +48,9 @@ def main():
                         "weights are imported directly (token-for-token "
                         "decode parity)")
     args = p.parse_args()
+    if args.n_best > 1 and not args.use_beam:
+        p.error("--n_best > 1 requires --use_beam (greedy decode yields "
+                "a single hypothesis)")
     cfg = config_from_args(args)
     if not os.path.exists(args.checkpoint):
         raise SystemExit(f"checkpoint not found: {args.checkpoint}")

@@ -156,20 +156,23 @@ def _align(hyp: List[str], ref: List[str]):
     matched_h = [-1] * len(hyp)
     weight_h = [0.0] * len(hyp)
     used_r = [False] * len(ref)
+    # stem each sentence once, not once per (unmatched hyp word × ref
+    # word) — the stemmer is the hot loop of multi-reference scoring
+    ref_stems = [_porter_stem(rw) for rw in ref]
     for stage, w in _stages():
         for i, hw in enumerate(hyp):
             if matched_h[i] >= 0:
                 continue
             if stage == "exact":
-                pred = lambda rw: hw == rw
+                pred = lambda j: hw == ref[j]
             elif stage == "stem":
                 key = _porter_stem(hw)
-                pred = lambda rw: key == _porter_stem(rw)
+                pred = lambda j: key == ref_stems[j]
             else:
                 syns = _synonym_set(hw)
-                pred = lambda rw: rw in syns or hw in _synonym_set(rw)
-            cands = [j for j, rw in enumerate(ref)
-                     if not used_r[j] and pred(rw)]
+                pred = lambda j: ref[j] in syns or hw in _synonym_set(ref[j])
+            cands = [j for j in range(len(ref))
+                     if not used_r[j] and pred(j)]
             if not cands:
                 continue
             after_prev = matched_h[i - 1] + 1 if i > 0 else -1

@@ -139,6 +139,20 @@ def build_mapping(model_mode: str, n_layers: int) -> Dict[str, tuple]:
     return m
 
 
+def _vocab_axis(f_key: str):
+    """Axis of ``f_key`` that carries the (possibly tp-padded) word-vocab
+    dimension, or None.  Exactly the params sized by
+    ModelConfig.padded_vocab_size: the word-embedding tables
+    (embeddings.py:69) and the LM head kernel/bias (layers.py:311-315)."""
+    if f_key.endswith("word_embeddings/embedding"):
+        return 0
+    if f_key == "decoder_classifier/decoder/kernel":
+        return 1  # flax kernel is (hidden, vocab)
+    if f_key == "decoder_classifier/bias":
+        return 0
+    return None
+
+
 def import_state_dict(flax_params, torch_state: Dict[str, np.ndarray],
                       model_mode: str, n_layers: int):
     """Return flax params with every mapped tensor replaced by the torch
@@ -159,17 +173,22 @@ def import_state_dict(flax_params, torch_state: Dict[str, np.ndarray],
         if f_key not in flat:
             raise KeyError(f"flax param {f_key} not found")
         if flat[f_key].shape != val.shape:
-            # vocab tables / LM head may be tp-padded on our side
-            # (ModelConfig.vocab_pad_multiple): zero-pad the reference
-            # tensor up to the target shape when every dim only grows
+            # ONLY the vocab-dim-bearing params may legitimately differ:
+            # tp padding (ModelConfig.vocab_pad_multiple) grows their
+            # vocab axis.  Everything else is a config error — raise, do
+            # not silently zero-pad arbitrary mismatches.
             target = flat[f_key].shape
-            if len(target) == val.ndim and all(
-                    t >= s for t, s in zip(target, val.shape)):
-                val = np.pad(val, [(0, t - s)
-                                   for t, s in zip(target, val.shape)])
-            else:
+            axis = _vocab_axis(f_key)
+            ok = (axis is not None and len(target) == val.ndim
+                  and target[axis] >= val.shape[axis]
+                  and all(t == s for d, (t, s)
+                          in enumerate(zip(target, val.shape))
+                          if d != axis))
+            if not ok:
                 raise ValueError(
                     f"shape mismatch {f_key}: {target} vs {val.shape}")
+            pad = [(0, t - s) for t, s in zip(target, val.shape)]
+            val = np.pad(val, pad)
         flat[f_key] = val.astype(np.float32)
     nested = unflatten_dict({tuple(k.split("/")): v for k, v in flat.items()})
     return {"params": nested}
@@ -197,10 +216,14 @@ def export_state_dict(flax_params, model_mode: str, n_layers: int,
         if transform == "T":
             val = val.T
         if padded_vocab_size > vocab_size > 0:
-            # any dim equal to the padded vocab is a padded vocab dim
-            for d, n in enumerate(val.shape):
-                if n == padded_vocab_size:
-                    val = np.take(val, np.arange(vocab_size), axis=d)
+            # slice padding off ONLY the params known to carry a vocab
+            # dim (a coincidental dim == padded_vocab_size elsewhere —
+            # e.g. hidden_size at test geometries — must not be cut)
+            axis = _vocab_axis(f_key)
+            if axis is not None and transform == "T":
+                axis = 1 - axis  # val is already in transposed ref layout
+            if axis is not None and val.shape[axis] == padded_vocab_size:
+                val = np.take(val, np.arange(vocab_size), axis=axis)
         # action_embeddings stays a bare Parameter: reference checkpoints
         # of record store it GloVe-injected, not as nn.Embedding.weight
         out[t_key] = val

@@ -41,7 +41,8 @@ def test_cider_identical_corpus():
     res = {0: ["a b c d e"], 1: ["f g h i j"]}
     score, scores = compute_cider_d(gts, res)
     assert score > 5.0  # perfect match scores high (max 10)
-    assert all(s >= score - 1e-6 for s in scores) or True
+    # corpus score is the mean of the per-item scores
+    np.testing.assert_allclose(score, np.mean(scores), rtol=1e-9)
 
 
 def test_repetition():

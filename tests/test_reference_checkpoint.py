@@ -123,3 +123,74 @@ def test_export_chkpt_runs_under_reference():
     for b, ref_seq in enumerate(dec_seq_list):
         ref_tokens = ref_seq.numpy()
         assert (got[b, :ref_tokens.shape[0]] == ref_tokens).all()
+
+
+def test_import_rejects_nonvocab_shape_mismatch():
+    """Only vocab-dim params (word-embedding tables, LM head) may differ
+    in shape (tp padding); any other mismatch must raise loudly instead
+    of being silently zero-padded into weight corruption."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from svpc_tpu.config import tiny_test_config
+    from svpc_tpu.data.synthetic import synthetic_batch
+    from svpc_tpu.model import SVPCModel
+    from svpc_tpu.model.import_torch import (export_state_dict,
+                                             import_state_dict)
+
+    cfg = tiny_test_config("full")
+    model = SVPCModel(cfg.model)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(cfg, batch_size=1, seed=0).items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    params = jax.device_get(model.init(rngs, batch, deterministic=True))
+    n_layers = cfg.model.num_hidden_layers
+    sd = export_state_dict(params, "full", n_layers)
+
+    # same-shape import roundtrips fine
+    import_state_dict(params, sd, "full", n_layers)
+
+    # shrink a NON-vocab tensor (encoder FFN kernel): must raise, not pad
+    bad = dict(sd)
+    key = next(k for k in bad if "intermediate" in k and k.endswith("weight"))
+    bad[key] = np.asarray(bad[key])[:-1]
+    with pytest.raises(ValueError, match="shape mismatch"):
+        import_state_dict(params, bad, "full", n_layers)
+
+
+def test_export_slices_only_vocab_dims_at_coincidental_sizes():
+    """A geometry where hidden_size == padded vocab must not get its
+    hidden dims truncated on export (the old any-dim heuristic did)."""
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.config import tiny_test_config
+    from svpc_tpu.data.synthetic import synthetic_batch
+    from svpc_tpu.model import SVPCModel
+    from svpc_tpu.model.import_torch import export_state_dict
+
+    # vocab 63 padded to 64 == hidden_size 64
+    cfg = tiny_test_config("full")
+    cfg = cfg.replace_model(vocab_size=63, vocab_pad_multiple=2,
+                            hidden_size=64, intermediate_size=64,
+                            lstm_hidden_size=64)
+    assert cfg.model.padded_vocab_size == 64
+    model = SVPCModel(cfg.model)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(cfg, batch_size=1, seed=0).items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    params = jax.device_get(model.init(rngs, batch, deterministic=True))
+    sd = export_state_dict(params, "full", cfg.model.num_hidden_layers,
+                           vocab_size=63, padded_vocab_size=64)
+    # vocab-dim params sliced back to 63...
+    assert sd["text_embeddings.word_embeddings.weight"].shape[0] == 63
+    assert sd["decoder_classifier.decoder.weight"].shape[0] == 63
+    assert sd["decoder_classifier.bias"].shape[0] == 63
+    # ...while coincidentally-64 hidden dims stay intact
+    q = next(v for k, v in sd.items()
+             if k.endswith("attention.self.query.weight"))
+    assert q.shape == (64, 64)
