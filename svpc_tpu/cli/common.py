@@ -84,6 +84,11 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="tensor-parallel mesh axis (Megatron-style "
                         "attention/FFN/vocab sharding; vocab tables are "
                         "zero-padded to a tp multiple)")
+    p.add_argument("--pp_size", type=int, default=1,
+                   help="pipeline-parallel stage count; must be 1 for "
+                        "this 2+2-layer model (the GPipe primitive a "
+                        "deeper trunk would use is "
+                        "svpc_tpu/parallel/pipeline.py)")
     p.add_argument("--grad_accum_steps", type=int, default=1,
                    help="host batches per optimizer step; exact under "
                         "sum-loss semantics (effective batch = "
@@ -146,6 +151,7 @@ def config_from_args(args) -> Config:
             ema_decay=args.ema_decay, freeze_glove=args.freeze_glove,
             dp_size=args.dp_size,
             tp_size=getattr(args, "tp_size", 1),
+            pp_size=getattr(args, "pp_size", 1),
             optimizer_dtype=getattr(args, "optimizer_dtype", "float32"),
             grad_accum_steps=args.grad_accum_steps,
             pack_clips=not args.no_pack_clips,

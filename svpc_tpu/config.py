@@ -181,11 +181,12 @@ class TrainConfig:
     # parallelism
     dp_size: int = 1                # data-parallel mesh axis
     tp_size: int = 1                # tensor-parallel mesh axis
-    # pipeline-parallel stage count: config stub only (must be 1).  At 2
-    # encoder + 2 decoder layers a pipeline is all bubble — see
-    # docs/DESIGN.md §5 for the (dp, pp, tp) design a deeper model would
-    # activate (1F1B inside shard_map, ppermute stage hand-offs,
-    # microbatches = grad_accum_steps).
+    # pipeline-parallel stage count (must be 1 for the flagship: at 2
+    # encoder + 2 decoder layers a pipeline is all bubble).  The GPipe
+    # primitive itself IS implemented — parallel/pipeline.py: microbatch
+    # schedule inside shard_map, ppermute stage hand-offs, exact under
+    # sum-loss semantics, output+gradient parity in tests/test_pipeline.py
+    # — and is what a deeper trunk would enable here.
     pp_size: int = 1
     donate_state: bool = True
     # clip packing (data/packing.py): compute only real clips instead of
@@ -212,11 +213,12 @@ class TrainConfig:
     def __post_init__(self):
         if self.pp_size != 1:
             raise NotImplementedError(
-                "pipeline parallelism is a config stub: at 2 encoder + 2 "
-                "decoder layers a pipeline is all bubble.  See "
-                "docs/DESIGN.md §5 for the (dp, pp, tp) design a deeper "
-                "model would activate; use dp_size/tp_size to scale this "
-                "one.")
+                "pipeline-parallel training is not enabled for this "
+                "model: at 2 encoder + 2 decoder layers a pipeline is all "
+                "bubble, so use dp_size/tp_size to scale it.  The GPipe "
+                "primitive a deeper trunk would plug in is implemented "
+                "and tested (svpc_tpu/parallel/pipeline.py, "
+                "tests/test_pipeline.py; docs/DESIGN.md §5).")
 
 
 @dataclass(frozen=True)
