@@ -60,15 +60,24 @@ def main():
         cfg, args, lambda c: CaptionDataset(c, args.split,
                                             lazy_features=True))
 
+    # multi-chip serving: batch sharded over dp, params sharded per the
+    # tp rules (same mesh the train loop's per-epoch eval uses)
+    mesh = None
+    if args.dp_size * args.tp_size > 1:
+        from svpc_tpu.parallel.mesh import make_mesh, shard_params
+        mesh = make_mesh(dp_size=args.dp_size, tp_size=args.tp_size)
+        eval_params = dict(eval_params)
+        eval_params["params"] = shard_params(mesh, eval_params["params"])
+
     if args.use_beam and args.n_best > 1:
         from svpc_tpu.train.loop import run_nbest_eval
         submission = run_nbest_eval(model, eval_params, ds, cfg,
                                     beam_size=args.beam_size,
-                                    n_best=args.n_best)
+                                    n_best=args.n_best, mesh=mesh)
         decode_name = f"beam{args.beam_size}_n{args.n_best}"
     else:
         submission = run_greedy_eval(
-            model, eval_params, ds, cfg,
+            model, eval_params, ds, cfg, mesh=mesh,
             beam_size=args.beam_size if args.use_beam else 0)
         decode_name = f"beam{args.beam_size}" if args.use_beam else "greedy"
     sub_path = os.path.join(args.output_dir,

@@ -108,3 +108,32 @@ def test_resume_same_workdir_preserves_logs_and_best(tmp_path):
     hist = json.load(open(tmp_path / "history.json"))
     assert [h["epoch"] for h in hist] == [0, 1, 2, 3]
     assert len(result["history"]) == 4
+
+
+def test_run_greedy_eval_mesh_matches_single_device():
+    """Multi-chip serving (cli.evaluate --dp_size/--tp_size): the mesh-
+    sharded greedy eval must emit the identical submission JSON."""
+    import jax
+    import jax.numpy as jnp
+    names, feat_dir, dur_file = rb.setup_features(3)
+    cfg, ds = rb.build_ours("reason_copy", feat_dir, dur_file)
+    cfg = cfg.replace_train(val_batch_size=2)
+
+    from svpc_tpu.data.pipeline import batch_examples
+    from svpc_tpu.model import SVPCModel
+    from svpc_tpu.parallel.mesh import make_mesh, shard_params
+    from svpc_tpu.train.loop import run_greedy_eval
+
+    model = SVPCModel(cfg.model)
+    batch = {k: jnp.asarray(v) for k, v in batch_examples([ds[0]]).items()}
+    rngs = {"params": jax.random.PRNGKey(5),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    params = model.init(rngs, batch, deterministic=True)
+
+    sub_single = run_greedy_eval(model, params, ds, cfg)
+    mesh = make_mesh(dp_size=2, tp_size=2)
+    sharded = dict(params)
+    sharded["params"] = shard_params(mesh, params["params"])
+    sub_mesh = run_greedy_eval(model, sharded, ds, cfg, mesh=mesh)
+    assert sub_single == sub_mesh
