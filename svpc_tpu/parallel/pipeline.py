@@ -66,8 +66,8 @@ def gpipe(stage_fn: Callable[[Pytree, Pytree], Pytree],
         (e.g. ``(hidden, mask)`` — non-evolving members just pass
         through).  Must be jax-traceable.
       stacked_params: per-layer params stacked on a leading layer axis
-        (see :func:`stack_layers`); the layer count must divide the
-        ``pp_axis`` mesh size.
+        (see :func:`stack_layers`); the ``pp_axis`` mesh size must divide
+        the layer count.
       microbatches: pytree of arrays with a leading microbatch axis; each
         ``microbatches[i]`` is one ``act`` for ``stage_fn``.  When
         ``batch_axis`` is given, the SECOND axis of every leaf is
