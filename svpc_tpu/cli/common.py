@@ -84,6 +84,11 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="tensor-parallel mesh axis (Megatron-style "
                         "attention/FFN/vocab sharding; vocab tables are "
                         "zero-padded to a tp multiple)")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: shard Adam moments + EMA shadow over the "
+                        "dp axis (per-device optimizer memory / dp; "
+                        "numerics unchanged — grads stay replicated so "
+                        "both grad-norm clips see full gradients)")
     p.add_argument("--pp_size", type=int, default=1,
                    help="pipeline-parallel stage count; must be 1 for "
                         "this 2+2-layer model (the GPipe primitive a "
@@ -152,6 +157,7 @@ def config_from_args(args) -> Config:
             dp_size=args.dp_size,
             tp_size=getattr(args, "tp_size", 1),
             pp_size=getattr(args, "pp_size", 1),
+            zero1=getattr(args, "zero1", False),
             optimizer_dtype=getattr(args, "optimizer_dtype", "float32"),
             grad_accum_steps=args.grad_accum_steps,
             pack_clips=not args.no_pack_clips,

@@ -181,6 +181,14 @@ class TrainConfig:
     # parallelism
     dp_size: int = 1                # data-parallel mesh axis
     tp_size: int = 1                # tensor-parallel mesh axis
+    # ZeRO-1: shard the Adam moments + EMA shadow over the dp axis
+    # (parallel/mesh.py::shard_state_zero1).  Gradients stay replicated
+    # (the dp psum), so both grad-norm clips see full gradients and the
+    # update math is bit-identical to the replicated run — XLA
+    # all-gathers only the final parameter updates.  Cuts per-device
+    # moment+EMA memory ~dp-fold; numerics unchanged
+    # (tests/test_zero1.py).  No effect at dp_size == 1.
+    zero1: bool = False
     # pipeline-parallel stage count (must be 1 for the flagship: at 2
     # encoder + 2 decoder layers a pipeline is all bubble).  The GPipe
     # primitive itself IS implemented — parallel/pipeline.py: microbatch

@@ -120,6 +120,73 @@ def param_partition_spec(path: tuple) -> P:
     return P()
 
 
+def zero1_partition_spec(path: tuple, shape: tuple, dp: int, tp: int) -> P:
+    """Sharding rule for one optimizer-moment / EMA-shadow leaf (ZeRO-1).
+
+    The reference has no distributed optimizer at all (SURVEY §2.4).  Here
+    the Adam moments and the EMA shadow — the dominant per-device state
+    beyond the params — can shard over the ``dp`` axis: gradients stay
+    replicated (the dp ``psum``), so the per-leaf and global grad-norm
+    clips see full gradients and the elementwise moment/update math on
+    each dp shard is bit-identical to the replicated run; XLA all-gathers
+    only the final parameter *updates*.  Per-device moment+EMA memory
+    drops ~dp-fold while the numerics are unchanged
+    (tests/test_zero1.py).
+
+    The leaf keeps its parameter's TP layout and folds ``dp`` into the
+    first free, divisible dimension; leaves with no divisible dimension
+    replicate over dp (scalars, tiny biases).
+    """
+    base = param_partition_spec(path)
+    spec = list(base) + [None] * (len(shape) - len(base))
+    for d, ax in enumerate(spec):
+        # mirror shard_params' TP divisibility fallback
+        if ax is not None and shape[d] % tp != 0:
+            spec = [None] * len(shape)
+            break
+    for d in range(len(shape)):
+        if spec[d] is None and shape[d] > 0 and shape[d] % dp == 0:
+            spec[d] = "dp"
+            break
+        if spec[d] == "tp" and shape[d] % (dp * tp) == 0:
+            spec[d] = ("tp", "dp")
+            break
+    return P(*spec)
+
+
+def shard_state_zero1(mesh: Mesh, state: Any) -> Any:
+    """Re-place a TrainState's optimizer state + EMA shadow with ZeRO-1
+    dp sharding (params keep their existing TP/replicated placement).
+
+    Use with a pinned ``out_shardings`` on the jitted train step so the
+    sharded layout persists across steps and donation stays effective
+    (train/loop.py)."""
+    dp = mesh.shape.get("dp", 1)
+    tp = mesh.shape.get("tp", 1)
+
+    def place(path, x):
+        spec = zero1_partition_spec(path, tuple(getattr(x, "shape", ())),
+                                    dp, tp)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    opt = jax.tree_util.tree_map_with_path(place, state.opt_state)
+    shadow = state.ema_shadow
+    if shadow is not None:
+        shadow = jax.tree_util.tree_map_with_path(place, shadow)
+    # step/epoch counters replicate on the SAME mesh so the whole state's
+    # shardings are mesh-consistent (state_shardings feeds out_shardings)
+    rep = replicated_sharding(mesh)
+    return state.replace(opt_state=opt, ema_shadow=shadow,
+                         step=jax.device_put(state.step, rep),
+                         epoch=jax.device_put(state.epoch, rep))
+
+
+def state_shardings(state: Any) -> Any:
+    """Pytree of each leaf's current NamedSharding — pass as jit
+    ``out_shardings`` to pin the (ZeRO-1) layout across steps."""
+    return jax.tree.map(lambda x: x.sharding, state)
+
+
 def shard_params(mesh: Mesh, params: Any, report: Optional[dict] = None) -> Any:
     """Place a param pytree with TP partition specs over the mesh.
 

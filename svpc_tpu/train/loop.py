@@ -26,7 +26,8 @@ from svpc_tpu.decode.postprocess import (
     batch_to_sentences, build_submission, collect_results)
 from svpc_tpu.evaluation.para_eval import evaluate_submission
 from svpc_tpu.model import SVPCModel
-from svpc_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from svpc_tpu.parallel.mesh import (
+    make_mesh, shard_batch, shard_params, shard_state_zero1, state_shardings)
 from svpc_tpu.precision import precision_scope
 from svpc_tpu.train.optim import make_optimizer
 from svpc_tpu.train.state import TrainState, save_checkpoint
@@ -340,12 +341,23 @@ def train(cfg: Config, workdir: str,
         # resolves to replication — identical to the old replicate().
         state = shard_params(mesh, state)
 
-    train_step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
+    step_out_shardings = None
+    if mesh is not None and cfg.train.zero1:
+        # ZeRO-1: moments + EMA shadow shard over dp; pin the layout on
+        # the step outputs so it persists (and donation stays in-place)
+        state = shard_state_zero1(mesh, state)
+        from jax.sharding import NamedSharding, PartitionSpec
+        scalar = NamedSharding(mesh, PartitionSpec())
+        step_out_shardings = (state_shardings(state), scalar)
+
+    train_step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0,
+                         out_shardings=step_out_shardings)
     if accum > 1:
         from svpc_tpu.train.step import make_apply_step, make_grad_step, \
             tree_add
         grad_step = jax.jit(make_grad_step(model, cfg))
-        apply_step = jax.jit(make_apply_step(tx, cfg), donate_argnums=0)
+        apply_step = jax.jit(make_apply_step(tx, cfg), donate_argnums=0,
+                             out_shardings=step_out_shardings)
         add_grads = jax.jit(tree_add, donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(model, cfg))
     from svpc_tpu.train.optim import training_rng
