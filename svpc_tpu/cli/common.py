@@ -79,6 +79,11 @@ def add_common_args(p: argparse.ArgumentParser):
                         "(bfloat16 halves optimizer HBM traffic; math "
                         "stays f32)")
     p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder/decoder layers on the "
+                        "backward pass (jax.checkpoint): ~num_layers x "
+                        "less activation memory for one extra layer "
+                        "forward; values unchanged")
     p.add_argument("--dp_size", type=int, default=1)
     p.add_argument("--tp_size", type=int, default=1,
                    help="tensor-parallel mesh axis (Megatron-style "
@@ -136,6 +141,7 @@ def config_from_args(args) -> Config:
             share_wd_cls_weight=args.share_wd_cls_weight,
             use_asl=args.use_asl == "asl",
             compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
+            remat=getattr(args, "remat", False),
             vocab_pad_multiple=max(1, getattr(args, "tp_size", 1))),
         data=DataConfig(
             dset_name=args.dset_name,

@@ -85,6 +85,14 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # use Pallas fused attention kernels where profitable
     use_pallas: bool = False
+    # rematerialize encoder/decoder layers on the backward pass
+    # (jax.checkpoint): store only layer inputs, recompute activations —
+    # trades ~1 extra forward of layer FLOPs for ~L× less transformer
+    # activation memory, enabling bigger batches / geometries.  Values
+    # are unchanged (same ops re-executed; gradient parity in
+    # tests/test_remat.py).  Off by default: the flagship fits
+    # comfortably, so the recompute would only cost time.
+    remat: bool = False
 
     @property
     def max_position_embeddings(self) -> int:

@@ -191,14 +191,23 @@ class EncoderLayer(nn.Module):
 
 
 class Encoder(nn.Module):
-    """Stack of EncoderLayers (reference BertEncoderNoMemoryUntied)."""
+    """Stack of EncoderLayers (reference BertEncoderNoMemoryUntied).
+
+    ``cfg.remat`` rematerializes each layer on the backward pass
+    (jax.checkpoint): only layer inputs are saved, activations are
+    recomputed — same values, ~num_layers× less transformer activation
+    memory (tests/test_remat.py)."""
     cfg: ModelConfig
 
     @nn.compact
     def __call__(self, x, mask_1d, diagonal_mask=False, deterministic=True):
+        def run(layer, x, mask_1d):
+            return layer(x, mask_1d, diagonal_mask, deterministic)
+
+        if self.cfg.remat:
+            run = nn.remat(run)
         for i in range(self.cfg.num_hidden_layers):
-            x = EncoderLayer(self.cfg, name=f"layer_{i}")(
-                x, mask_1d, diagonal_mask, deterministic)
+            x = run(EncoderLayer(self.cfg, name=f"layer_{i}"), x, mask_1d)
         return x
 
 
@@ -268,8 +277,15 @@ class Decoder(nn.Module):
                        for i in range(self.cfg.num_hidden_layers)]
 
     def __call__(self, dec, dec_mask, enc_out, enc_mask, deterministic=True):
+        def run(layer, dec, dec_mask, enc_out, enc_mask):
+            return layer(dec, dec_mask, enc_out, enc_mask, deterministic)
+
+        if self.cfg.remat:
+            # save only layer inputs; recompute on backward (same values —
+            # the incremental `step` path is inference-only and unwrapped)
+            run = nn.remat(run)
         for layer in self.layers:
-            dec = layer(dec, dec_mask, enc_out, enc_mask, deterministic)
+            dec = run(layer, dec, dec_mask, enc_out, enc_mask)
         return dec
 
     def step(self, x_t, caches, t, enc_out, enc_mask):
