@@ -212,3 +212,49 @@ def test_zero1_spec_covers_flagship_geometry():
     # not (>=99% of elements dp-sharded)
     assert sharded_elems / total_elems > 0.99, (
         sharded_elems / total_elems, replicated[:10])
+
+
+def test_zero1_train_loop_with_resume(tmp_path):
+    """The real train() loop under dp=2 + ZeRO-1, including resume: the
+    checkpoint (always gathered to host) restores, is re-placed on the
+    mesh (shard_params then shard_state_zero1), and the pinned
+    out_shardings keep the layout across steps — this is the wiring the
+    dryrun's device-mismatch failure mode lives in."""
+    import json
+
+    import numpy as np
+    import pytest
+    from tests import reference_bridge as rb
+
+    if not rb.reference_available():
+        pytest.skip("reference repo not mounted")
+
+    names, feat_dir, dur_file = rb.setup_features(3)
+    cfg, _ = rb.build_ours("copy", feat_dir, dur_file)
+    cfg = cfg.replace_train(batch_size=2, val_batch_size=2, n_epoch=2,
+                            max_es_cnt=10, dp_size=2, zero1=True)
+    from svpc_tpu.data.pipeline import CaptionDataset
+    from svpc_tpu.train import loop as loop_mod
+
+    orig_init = CaptionDataset.__init__
+
+    def patched_init(self, c, split, **kw):
+        orig_init(self, c, "val", **kw)
+        self.split = split
+
+    CaptionDataset.__init__ = patched_init
+    try:
+        loop_mod.train(cfg, str(tmp_path), max_steps_per_epoch=2,
+                       eval_language=False, tensorboard=False)
+        cfg2 = cfg.replace_train(n_epoch=4)
+        result = loop_mod.train(
+            cfg2, str(tmp_path), max_steps_per_epoch=2,
+            eval_language=False, tensorboard=False,
+            resume_from=str(tmp_path / "checkpoint_last"))
+    finally:
+        CaptionDataset.__init__ = orig_init
+
+    hist = json.load(open(tmp_path / "history.json"))
+    assert [h["epoch"] for h in hist] == [0, 1, 2, 3]
+    for h in hist:
+        assert np.isfinite(h["train"]["loss_per_word"])
