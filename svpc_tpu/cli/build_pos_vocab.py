@@ -129,7 +129,17 @@ def main():
 
     out_dir = args.out_dir or args.cache
     os.makedirs(out_dir, exist_ok=True)
-    for path in [args.train_path] + list(args.attach):
+    sources = [args.train_path] + list(args.attach)
+    names = [os.path.basename(p) for p in sources]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise SystemExit(
+            f"output collision in {out_dir}: {sorted(dupes)} — annotated "
+            "copies are written under their input basenames, so inputs "
+            "from different directories with the same filename would "
+            "silently overwrite each other.  Rename the inputs or run "
+            "with separate --out_dir invocations.")
+    for path in sources:
         if path == args.train_path:
             anns = annotations  # already loaded (and its tags memoized)
         else:

@@ -154,10 +154,18 @@ def _vocab_axis(f_key: str):
 
 
 def import_state_dict(flax_params, torch_state: Dict[str, np.ndarray],
-                      model_mode: str, n_layers: int):
+                      model_mode: str, n_layers: int,
+                      vocab_size: int = 0, padded_vocab_size: int = 0):
     """Return flax params with every mapped tensor replaced by the torch
     value.  ``torch_state`` is a {name: np.ndarray} dict (e.g. a loaded
-    npz of the reference state_dict)."""
+    npz of the reference state_dict).
+
+    Pass ``vocab_size``/``padded_vocab_size`` (ModelConfig) when the flax
+    template is tp-padded (vocab_pad_multiple > 1): vocab-axis tensors are
+    then zero-padded from exactly ``vocab_size`` to exactly
+    ``padded_vocab_size``.  Without them every shape mismatch raises — a
+    checkpoint built against a different word2idx must fail loudly, not be
+    silently zero-filled into degraded decodes."""
     mapping = build_mapping(model_mode, n_layers)
     flat = {"/".join(k): v for k, v in flatten_dict(flax_params["params"]).items()}
     for f_key, (t_key, transform) in mapping.items():
@@ -175,12 +183,17 @@ def import_state_dict(flax_params, torch_state: Dict[str, np.ndarray],
         if flat[f_key].shape != val.shape:
             # ONLY the vocab-dim-bearing params may legitimately differ:
             # tp padding (ModelConfig.vocab_pad_multiple) grows their
-            # vocab axis.  Everything else is a config error — raise, do
-            # not silently zero-pad arbitrary mismatches.
+            # vocab axis from vocab_size to padded_vocab_size, both of
+            # which the caller must state explicitly.  Everything else —
+            # including a vocab-axis tensor whose source size is not
+            # exactly vocab_size (wrong word2idx cache, truncated state
+            # dict) — is a config error: raise, do not silently zero-pad.
             target = flat[f_key].shape
             axis = _vocab_axis(f_key)
             ok = (axis is not None and len(target) == val.ndim
-                  and target[axis] >= val.shape[axis]
+                  and padded_vocab_size > vocab_size > 0
+                  and val.shape[axis] == vocab_size
+                  and target[axis] == padded_vocab_size
                   and all(t == s for d, (t, s)
                           in enumerate(zip(target, val.shape))
                           if d != axis))

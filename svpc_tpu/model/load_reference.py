@@ -112,5 +112,7 @@ def import_reference_checkpoint(path: str, base_cfg: Config):
     # materialize zeros for unmapped leaves, then overwrite mapped ones
     params = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), abstract)
     params = import_state_dict(params, state, cfg.model.model_mode,
-                               cfg.model.num_hidden_layers)
+                               cfg.model.num_hidden_layers,
+                               vocab_size=cfg.model.vocab_size,
+                               padded_vocab_size=cfg.model.padded_vocab_size)
     return cfg, model, params

@@ -89,7 +89,8 @@ def gpipe(stage_fn: Callable[[Pytree, Pytree], Pytree],
     pp = mesh.shape[pp_axis]
     n_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
     if n_layers % pp:
-        raise ValueError(f"{n_layers} layers do not divide pp={pp}")
+        raise ValueError(
+            f"pp={pp} must divide the layer count ({n_layers})")
     n_micro = jax.tree_util.tree_leaves(microbatches)[0].shape[0]
     ticks = n_micro + pp - 1
     # stage i hands its activation to stage i+1; the wrap-around edge only

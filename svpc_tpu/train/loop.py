@@ -195,16 +195,13 @@ def make_eval_decoder(model, cfg: Config, dataset: CaptionDataset,
                 transform=cast_transform(cfg), mesh=mesh)
 
 
-def run_greedy_eval(model, params, dataset: CaptionDataset, cfg: Config,
-                    mesh=None, max_batches: Optional[int] = None,
-                    beam_size: int = 0, decoder=None) -> dict:
-    """Decode a whole dataset into a submission dict (greedy by default;
-    ``beam_size>1`` uses batched beam search).  Pass ``decoder`` from
-    ``make_eval_decoder`` to reuse one compiled program across calls."""
-    if decoder is None:
-        decoder = make_eval_decoder(model, cfg, dataset, mesh, beam_size)
+def _decode_batches(params, dataset: CaptionDataset, decoder,
+                    max_batches: Optional[int] = None):
+    """Yield ``(jitted-decode output, metas)`` per eval batch — the one
+    transform/shard/decode loop shared by the greedy and n-best paths
+    (both consumers drain it fully, so the precision scope opens and
+    closes within one call)."""
     cfg = decoder["cfg"]
-    results = None
     n = 0
     with precision_scope(cfg.model):
         for batch, metas in dataset.batches(cfg.train.val_batch_size,
@@ -214,17 +211,32 @@ def run_greedy_eval(model, params, dataset: CaptionDataset, cfg: Config,
                 batch = decoder["transform"](batch)
             if decoder["mesh"] is not None:
                 batch = shard_batch(decoder["mesh"], batch)
-            ids = np.asarray(decoder["jit"](params, batch))
-            sentences = batch_to_sentences(ids, metas, dataset.vocab)
-            results = collect_results(sentences, metas, results)
+            yield decoder["jit"](params, batch), metas
             n += 1
             if max_batches and n >= max_batches:
-                break
+                return
+
+
+def run_greedy_eval(model, params, dataset: CaptionDataset, cfg: Config,
+                    mesh=None, max_batches: Optional[int] = None,
+                    beam_size: int = 0, decoder=None) -> dict:
+    """Decode a whole dataset into a submission dict (greedy by default;
+    ``beam_size>1`` uses batched beam search).  Pass ``decoder`` from
+    ``make_eval_decoder`` to reuse one compiled program across calls."""
+    if decoder is None:
+        decoder = make_eval_decoder(model, cfg, dataset, mesh, beam_size)
+    results = None
+    for ids, metas in _decode_batches(params, dataset, decoder,
+                                      max_batches):
+        sentences = batch_to_sentences(np.asarray(ids), metas,
+                                       dataset.vocab)
+        results = collect_results(sentences, metas, results)
     return build_submission(results or {})
 
 
 def run_nbest_eval(model, params, dataset: CaptionDataset, cfg: Config,
-                   beam_size: int, n_best: int, mesh=None) -> dict:
+                   beam_size: int, n_best: int, mesh=None,
+                   max_batches: Optional[int] = None) -> dict:
     """Beam-decode a dataset keeping the top-``n_best`` ranked hypotheses
     per (video, step) (the reference's advertised ``--n_best`` surface,
     train.py:546-548).  Returns a submission-shaped dict whose entries
@@ -233,33 +245,24 @@ def run_nbest_eval(model, params, dataset: CaptionDataset, cfg: Config,
     submission)."""
     decoder = make_eval_decoder(model, cfg, dataset, mesh,
                                 beam_size=beam_size, n_best=n_best)
-    cfg = decoder["cfg"]
     results: Dict[str, list] = {}
-    with precision_scope(cfg.model):
-        for batch, metas in dataset.batches(cfg.train.val_batch_size,
-                                            shuffle=False,
-                                            builder=decoder["builder"]):
-            if decoder["transform"] is not None:
-                batch = decoder["transform"](batch)
-            if decoder["mesh"] is not None:
-                batch = shard_batch(decoder["mesh"], batch)
-            tokens, scores = decoder["jit"](params, batch)
-            tokens, scores = np.asarray(tokens), np.asarray(scores)
-            per_rank = [batch_to_sentences(tokens[:, r], metas,
-                                           dataset.vocab)
-                        for r in range(n_best)]
-            for b, meta in enumerate(metas):
-                entries = results.setdefault(meta["name"], [])
-                for s in range(meta["n_steps"]):
-                    entries.append({
-                        "sentence": per_rank[0][b][s],
-                        "timestamp": meta["timestamps"][s],
-                        "gt_sentence": meta["gt_sentences"][s],
-                        "nbest": [
-                            {"sentence": per_rank[r][b][s],
-                             "score": float(scores[b, r, s])}
-                            for r in range(n_best)],
-                    })
+    for (tokens, scores), metas in _decode_batches(params, dataset,
+                                                   decoder, max_batches):
+        tokens, scores = np.asarray(tokens), np.asarray(scores)
+        per_rank = [batch_to_sentences(tokens[:, r], metas, dataset.vocab)
+                    for r in range(n_best)]
+        for b, meta in enumerate(metas):
+            entries = results.setdefault(meta["name"], [])
+            for s in range(meta["n_steps"]):
+                entries.append({
+                    "sentence": per_rank[0][b][s],
+                    "timestamp": meta["timestamps"][s],
+                    "gt_sentence": meta["gt_sentences"][s],
+                    "nbest": [
+                        {"sentence": per_rank[r][b][s],
+                         "score": float(scores[b, r, s])}
+                        for r in range(n_best)],
+                })
     return build_submission(results)
 
 

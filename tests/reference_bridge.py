@@ -190,7 +190,9 @@ def import_weights_into(cfg, torch_model, batch_np):
     params = model.init(rngs, jbatch, deterministic=True)
     state = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
     params = import_state_dict(params, state, cfg.model.model_mode,
-                               cfg.model.num_hidden_layers)
+                               cfg.model.num_hidden_layers,
+                               vocab_size=cfg.model.vocab_size,
+                               padded_vocab_size=cfg.model.padded_vocab_size)
     return model, params, jbatch
 
 

@@ -160,6 +160,66 @@ def test_import_rejects_nonvocab_shape_mismatch():
     with pytest.raises(ValueError, match="shape mismatch"):
         import_state_dict(params, bad, "full", n_layers)
 
+    # shrink a VOCAB tensor without declaring pad sizes: still a loud
+    # error — a checkpoint built against a different word2idx must not be
+    # silently zero-filled into degraded decodes
+    bad = dict(sd)
+    vkey = "text_embeddings.word_embeddings.weight"
+    bad[vkey] = np.asarray(bad[vkey])[:-1]
+    with pytest.raises(ValueError, match="shape mismatch"):
+        import_state_dict(params, bad, "full", n_layers)
+    # ... and even WITH pad sizes, only exactly vocab_size -> padded size
+    # may grow; an off-by-more source is a wrong-vocab error
+    V = cfg.model.vocab_size
+    with pytest.raises(ValueError, match="shape mismatch"):
+        import_state_dict(params, bad, "full", n_layers,
+                          vocab_size=V, padded_vocab_size=V)
+
+
+def test_import_pads_vocab_dims_exactly():
+    """tp-padded template + declared sizes: vocab-axis tensors grow from
+    exactly vocab_size to exactly padded_vocab_size with zero fill."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from svpc_tpu.config import tiny_test_config
+    from svpc_tpu.data.synthetic import synthetic_batch
+    from svpc_tpu.model import SVPCModel
+    from svpc_tpu.model.import_torch import (export_state_dict,
+                                             import_state_dict)
+
+    cfg = tiny_test_config("full")
+    model = SVPCModel(cfg.model)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(cfg, batch_size=1, seed=0).items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    params = jax.device_get(model.init(rngs, batch, deterministic=True))
+    n_layers = cfg.model.num_hidden_layers
+    sd = export_state_dict(params, "full", n_layers)
+
+    # pick a multiple that does NOT divide the tiny vocab (64) so the
+    # padded size genuinely grows
+    cfg_p = cfg.replace_model(vocab_pad_multiple=10)
+    Vp = cfg_p.model.padded_vocab_size
+    assert Vp > cfg.model.vocab_size
+    model_p = SVPCModel(cfg_p.model)
+    batch_p = {k: jnp.asarray(v)
+               for k, v in synthetic_batch(cfg_p, batch_size=1,
+                                           seed=0).items()}
+    params_p = jax.device_get(model_p.init(rngs, batch_p,
+                                           deterministic=True))
+    got = import_state_dict(params_p, sd, "full", n_layers,
+                            vocab_size=cfg.model.vocab_size,
+                            padded_vocab_size=Vp)
+    emb = got["params"]["text_embeddings"]["word_embeddings"]["embedding"]
+    assert emb.shape[0] == Vp
+    np.testing.assert_array_equal(
+        np.asarray(emb[:cfg.model.vocab_size]),
+        sd["text_embeddings.word_embeddings.weight"])
+    assert not np.asarray(emb[cfg.model.vocab_size:]).any()
+
 
 def test_export_slices_only_vocab_dims_at_coincidental_sizes():
     """A geometry where hidden_size == padded vocab must not get its
