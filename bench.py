@@ -54,15 +54,15 @@ def _workload(cfg, batch_size, baseline, packed):
     return batch_np, total_clips
 
 
-def bench_train(base_cfg, batch_size, iters, packed, baseline):
+def _setup(base_cfg, batch_size, packed, baseline):
+    """Shared measurement preamble: workload, model, device batch and a
+    zero-filled param template (skips the init compile; values don't
+    affect throughput).  One helper so the train and decode halves of the
+    artifact are always measured under identical conditions."""
     import jax
     import jax.numpy as jnp
 
     from svpc_tpu.model import SVPCModel
-    from svpc_tpu.precision import precision_scope
-    from svpc_tpu.train.optim import make_optimizer, training_rng
-    from svpc_tpu.train.state import TrainState
-    from svpc_tpu.train.step import make_train_step
 
     cfg = base_cfg.replace_train(batch_size=batch_size)
     batch_np, total_clips = _workload(cfg, batch_size, baseline, packed)
@@ -71,15 +71,25 @@ def bench_train(base_cfg, batch_size, iters, packed, baseline):
     rngs = {"params": jax.random.PRNGKey(0),
             "dropout": jax.random.PRNGKey(1),
             "gumbel": jax.random.PRNGKey(2)}
+    abstract = jax.eval_shape(
+        lambda: model.init(rngs, batch, deterministic=True))
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), abstract)
+    return cfg, model, batch, params, total_clips
+
+
+def bench_train(base_cfg, batch_size, iters, packed, baseline):
+    import jax
+
+    from svpc_tpu.precision import precision_scope
+    from svpc_tpu.train.optim import make_optimizer, training_rng
+    from svpc_tpu.train.state import TrainState
+    from svpc_tpu.train.step import make_train_step
+
+    cfg, model, batch, params, total_clips = _setup(
+        base_cfg, batch_size, packed, baseline)
     opt_dtype = cfg.train.optimizer_dtype
 
     with precision_scope(cfg.model):
-        # zero params from an abstract template: skips the init compile
-        # (values don't affect throughput)
-        abstract = jax.eval_shape(
-            lambda: model.init(rngs, batch, deterministic=True))
-        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
-                              abstract)
         tx = make_optimizer(cfg.train, steps_per_epoch=100)
         state = TrainState.create(params, tx, use_ema=True,
                                   ema_dtype=opt_dtype)
@@ -102,24 +112,13 @@ def bench_train(base_cfg, batch_size, iters, packed, baseline):
 
 def bench_decode(base_cfg, batch_size, iters, packed, baseline):
     import jax
-    import jax.numpy as jnp
 
     from svpc_tpu.decode.greedy import greedy_decode
-    from svpc_tpu.model import SVPCModel
     from svpc_tpu.precision import precision_scope
 
-    cfg = base_cfg.replace_train(batch_size=batch_size)
-    batch_np, total_clips = _workload(cfg, batch_size, baseline, packed)
-    model = SVPCModel(cfg.model)
-    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-    rngs = {"params": jax.random.PRNGKey(0),
-            "dropout": jax.random.PRNGKey(1),
-            "gumbel": jax.random.PRNGKey(2)}
+    cfg, model, batch, params, total_clips = _setup(
+        base_cfg, batch_size, packed, baseline)
     with precision_scope(cfg.model):
-        abstract = jax.eval_shape(
-            lambda: model.init(rngs, batch, deterministic=True))
-        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
-                              abstract)
         fn = jax.jit(lambda p, b: greedy_decode(model, p, b))
 
         ids = fn(params, batch)

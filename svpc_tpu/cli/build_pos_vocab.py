@@ -139,6 +139,15 @@ def main():
             "from different directories with the same filename would "
             "silently overwrite each other.  Rename the inputs or run "
             "with separate --out_dir invocations.")
+    clobbered = [p for p in sources
+                 if os.path.realpath(os.path.join(out_dir,
+                                                  os.path.basename(p)))
+                 == os.path.realpath(p)]
+    if clobbered:
+        raise SystemExit(
+            f"annotated copies would overwrite the input file(s) "
+            f"{clobbered} in place — pass an --out_dir different from "
+            "the directory the inputs live in.")
     for path in sources:
         if path == args.train_path:
             anns = annotations  # already loaded (and its tags memoized)

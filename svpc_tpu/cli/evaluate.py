@@ -51,6 +51,13 @@ def main():
     if args.n_best > 1 and not args.use_beam:
         p.error("--n_best > 1 requires --use_beam (greedy decode yields "
                 "a single hypothesis)")
+    if args.use_beam and args.beam_size < 2:
+        p.error("--use_beam requires --beam_size >= 2 (beam_size 1 IS "
+                "greedy decode — drop --use_beam)")
+    if args.n_best > args.beam_size:
+        p.error(f"--n_best {args.n_best} cannot exceed "
+                f"--beam_size {args.beam_size} (a beam of K carries only "
+                "K ranked hypotheses)")
     cfg = config_from_args(args)
     if not os.path.exists(args.checkpoint):
         raise SystemExit(f"checkpoint not found: {args.checkpoint}")

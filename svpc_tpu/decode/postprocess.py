@@ -56,15 +56,23 @@ def build_submission(results: Dict[str, List[dict]]) -> dict:
 
 
 def collect_results(sentences: List[List[str]], metas: Sequence[dict],
-                    results: Dict[str, List[dict]] | None = None):
-    """Accumulate per-batch sentences into a submission results dict."""
+                    results: Dict[str, List[dict]] | None = None,
+                    extras: List[List[dict]] | None = None):
+    """Accumulate per-batch sentences into a submission results dict.
+
+    ``extras`` (same [example][step] structure as ``sentences``) merges
+    additional fields into each entry — e.g. the ``nbest`` hypothesis
+    lists — so every submission entry is built here, in one place."""
     if results is None:
         results = defaultdict(list)
-    for sents, meta in zip(sentences, metas):
+    for b, (sents, meta) in enumerate(zip(sentences, metas)):
         for s, sent in enumerate(sents):
-            results[meta["name"]].append({
+            entry = {
                 "sentence": sent,
                 "timestamp": meta["timestamps"][s],
                 "gt_sentence": meta["gt_sentences"][s],
-            })
+            }
+            if extras is not None:
+                entry.update(extras[b][s])
+            results[meta["name"]].append(entry)
     return results

@@ -60,9 +60,7 @@ def evaluate_language(results: Dict, reference_paragraphs,
             else [reference_paragraphs])
     refs = [_ensure_caption_key(r) for r in refs]
 
-    vids = []
-    for r in refs:
-        vids.extend(k for k in r if k not in vids)
+    vids = list(dict.fromkeys(k for r in refs for k in r))
     gts = {i: [" ".join(parse_sent(r[k])) for r in refs if k in r]
            for i, k in enumerate(vids)}
     res = {

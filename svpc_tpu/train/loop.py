@@ -245,25 +245,20 @@ def run_nbest_eval(model, params, dataset: CaptionDataset, cfg: Config,
     submission)."""
     decoder = make_eval_decoder(model, cfg, dataset, mesh,
                                 beam_size=beam_size, n_best=n_best)
-    results: Dict[str, list] = {}
+    results = None
     for (tokens, scores), metas in _decode_batches(params, dataset,
                                                    decoder, max_batches):
         tokens, scores = np.asarray(tokens), np.asarray(scores)
         per_rank = [batch_to_sentences(tokens[:, r], metas, dataset.vocab)
                     for r in range(n_best)]
-        for b, meta in enumerate(metas):
-            entries = results.setdefault(meta["name"], [])
-            for s in range(meta["n_steps"]):
-                entries.append({
-                    "sentence": per_rank[0][b][s],
-                    "timestamp": meta["timestamps"][s],
-                    "gt_sentence": meta["gt_sentences"][s],
-                    "nbest": [
-                        {"sentence": per_rank[r][b][s],
-                         "score": float(scores[b, r, s])}
-                        for r in range(n_best)],
-                })
-    return build_submission(results)
+        nbest = [[{"nbest": [{"sentence": per_rank[r][b][s],
+                              "score": float(scores[b, r, s])}
+                             for r in range(n_best)]}
+                  for s in range(meta["n_steps"])]
+                 for b, meta in enumerate(metas)]
+        results = collect_results(per_rank[0], metas, results,
+                                  extras=nbest)
+    return build_submission(results or {})
 
 
 class TBWriter:

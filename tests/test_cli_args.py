@@ -57,6 +57,35 @@ def test_arch_flags_reach_config():
             + ["--share_wd_cls_weight"])).model.validate()
 
 
+def test_evaluate_rejects_inconsistent_beam_flags(monkeypatch, capsys):
+    """Beam-flag combinations that cannot produce what they ask for must
+    die at argument parsing, not as a tuple-unpack crash after the model
+    loads: --use_beam with beam_size 1 (that IS greedy), and
+    n_best > beam_size (a beam of K carries only K hypotheses)."""
+    from svpc_tpu.cli import evaluate
+
+    base = ["evaluate", "--video_feature_dir", "/nonexistent",
+            "--duration_file", "/nonexistent.csv",
+            "--checkpoint", "/nonexistent", "--output_dir", "/tmp/nope"]
+    # control: a consistent flag set must get PAST parsing — it dies
+    # later on the bogus data paths (FileNotFoundError from the vocab
+    # load), NOT with an argparse usage error (SystemExit code 2)
+    monkeypatch.setattr("sys.argv",
+                        base + ["--use_beam", "--beam_size", "3",
+                                "--n_best", "3"])
+    with pytest.raises(FileNotFoundError):
+        evaluate.main()
+    for bad in (["--use_beam", "--beam_size", "1", "--n_best", "2"],
+                ["--use_beam", "--beam_size", "1"],
+                ["--use_beam", "--beam_size", "2", "--n_best", "3"],
+                ["--n_best", "2"]):
+        monkeypatch.setattr("sys.argv", base + bad)
+        with pytest.raises(SystemExit) as e:
+            evaluate.main()
+        assert e.value.code == 2, bad  # argparse usage error, pre-load
+        capsys.readouterr()
+
+
 def test_caption_cli_from_argv(tmp_path):
     import jax
     import jax.numpy as jnp
