@@ -54,7 +54,7 @@ def main():
     if args.use_beam and args.beam_size < 2:
         p.error("--use_beam requires --beam_size >= 2 (beam_size 1 IS "
                 "greedy decode — drop --use_beam)")
-    if args.n_best > args.beam_size:
+    if args.use_beam and args.n_best > args.beam_size:
         p.error(f"--n_best {args.n_best} cannot exceed "
                 f"--beam_size {args.beam_size} (a beam of K carries only "
                 "K ranked hypotheses)")

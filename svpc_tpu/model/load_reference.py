@@ -97,7 +97,12 @@ def import_reference_checkpoint(path: str, base_cfg: Config):
         max_n_sen=base_cfg.model.max_n_sen,
         max_entities=base_cfg.model.max_entities,
         max_oov=base_cfg.model.max_oov,
-        max_ingr_words=base_cfg.model.max_ingr_words)
+        max_ingr_words=base_cfg.model.max_ingr_words,
+        # keep the caller's tp vocab padding: --tp_size N sets
+        # vocab_pad_multiple=N and import_state_dict pads the vocab-axis
+        # tables to it; defaulting to 1 here would silently replicate
+        # (not shard) the embedding/LM-head tables under tp
+        vocab_pad_multiple=base_cfg.model.vocab_pad_multiple)
     cfg = Config(model=mcfg, data=base_cfg.data, train=base_cfg.train)
 
     model = SVPCModel(cfg.model)

@@ -27,7 +27,8 @@ from svpc_tpu.decode.postprocess import (
 from svpc_tpu.evaluation.para_eval import evaluate_submission
 from svpc_tpu.model import SVPCModel
 from svpc_tpu.parallel.mesh import (
-    make_mesh, shard_batch, shard_params, shard_state_zero1, state_shardings)
+    make_mesh, replicated_sharding, shard_batch, shard_params,
+    shard_state_zero1, state_shardings)
 from svpc_tpu.precision import precision_scope
 from svpc_tpu.train.optim import make_optimizer
 from svpc_tpu.train.state import TrainState, save_checkpoint
@@ -344,9 +345,8 @@ def train(cfg: Config, workdir: str,
         # ZeRO-1: moments + EMA shadow shard over dp; pin the layout on
         # the step outputs so it persists (and donation stays in-place)
         state = shard_state_zero1(mesh, state)
-        from jax.sharding import NamedSharding, PartitionSpec
-        scalar = NamedSharding(mesh, PartitionSpec())
-        step_out_shardings = (state_shardings(state), scalar)
+        step_out_shardings = (state_shardings(state),
+                              replicated_sharding(mesh))
 
     train_step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0,
                          out_shardings=step_out_shardings)

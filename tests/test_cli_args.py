@@ -75,6 +75,11 @@ def test_evaluate_rejects_inconsistent_beam_flags(monkeypatch, capsys):
                                 "--n_best", "3"])
     with pytest.raises(FileNotFoundError):
         evaluate.main()
+    # greedy with an explicit --beam_size 0 is fine: beam_size is
+    # irrelevant without --use_beam, so no beam check may fire
+    monkeypatch.setattr("sys.argv", base + ["--beam_size", "0"])
+    with pytest.raises(FileNotFoundError):
+        evaluate.main()
     for bad in (["--use_beam", "--beam_size", "1", "--n_best", "2"],
                 ["--use_beam", "--beam_size", "1"],
                 ["--use_beam", "--beam_size", "2", "--n_best", "3"],

@@ -221,6 +221,40 @@ def test_import_pads_vocab_dims_exactly():
     assert not np.asarray(emb[cfg.model.vocab_size:]).any()
 
 
+def test_import_reference_checkpoint_keeps_vocab_padding():
+    """`--torch_checkpoint --tp_size N` surface: the caller's
+    vocab_pad_multiple must survive import_reference_checkpoint (it is a
+    field of *our* config, absent from the reference model_cfg) — if it
+    silently reset to 1 the vocab tables would replicate instead of
+    sharding under tp."""
+    import torch
+
+    names, feat_dir, dur_file = rb.setup_features(1)
+    ref_model, _, _ = rb.build_reference("reason_copy", feat_dir, dur_file)
+    cfg, _ = rb.build_ours("reason_copy", feat_dir, dur_file)
+    # a multiple that does not divide the mini vocab, so padding is real
+    cfg = cfg.replace_model(vocab_pad_multiple=10)
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "model.chkpt")
+        torch.save({"model": ref_model.state_dict(),
+                    "model_cfg": ref_model.config,
+                    "opt": None, "epoch": 0}, path)
+        from svpc_tpu.model.load_reference import import_reference_checkpoint
+        loaded_cfg, _, params = import_reference_checkpoint(path, cfg)
+
+    assert loaded_cfg.model.vocab_pad_multiple == 10
+    Vp = loaded_cfg.model.padded_vocab_size
+    assert Vp % 10 == 0 and Vp > loaded_cfg.model.vocab_size
+    emb = params["params"]["text_embeddings"]["word_embeddings"]["embedding"]
+    assert emb.shape[0] == Vp
+    ref_emb = ref_model.state_dict()[
+        "text_embeddings.word_embeddings.weight"].numpy()
+    np.testing.assert_array_equal(
+        np.asarray(emb[:loaded_cfg.model.vocab_size]), ref_emb)
+    assert not np.asarray(emb[loaded_cfg.model.vocab_size:]).any()
+
+
 def test_export_slices_only_vocab_dims_at_coincidental_sizes():
     """A geometry where hidden_size == padded vocab must not get its
     hidden dims truncated on export (the old any-dim heuristic did)."""
