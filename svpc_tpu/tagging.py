@@ -1,0 +1,151 @@
+"""Self-contained VERB/NOUN tagger for recipe-style English.
+
+The reference builds its POS vocabulary with spaCy (`src/build_pos_vocab.py:
+24-29`), whose `en_core_web_sm` model data cannot be downloaded on an
+air-gapped host.  This module is the data-free fallback: a lexicon +
+context-rule tagger specialised to the imperative cooking-caption domain,
+built entirely from artifacts already in the repo (the Bosselut verb
+vocabulary the reference ships in `cache/bosselut_verb_vocab.json` and the
+closed-class function-word inventory shared with the METEOR fallback).
+
+It is an **approximation**, and a measured one: rebuilding the POS
+vocabulary over the in-repo YC2 training annotations and comparing with
+the reference's shipped spaCy-built `cache/pos_vocab_word2idx.json`
+(1558 entries) gives type-level recall 0.994 / precision 0.79
+(`tests/test_pos_vocab.py::test_lexicon_tagger_agreement_with_shipped_vocab`).
+The precision gap is dominated by spaCy tagging foreign food words as
+PROPN/X ("chili", "garam", "adobo", misspellings), which excludes them
+from a *cooking* vocabulary — a data-free tagger cannot (and arguably
+should not) reproduce that, so a rebuilt vocab comes out slightly larger.
+
+Tag inventory is deliberately tiny: VERB / NOUN / OTHER — the only
+distinction `build_pos_vocab` consumes (reference keeps tokens whose tag
+is VERB or NOUN; everything else is discarded).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import List, Optional, Sequence, Tuple
+
+from svpc_tpu.evaluation.meteor import _FUNCTION_WORDS
+
+# Closed-class words the METEOR inventory does not carry but that never
+# contribute VERB/NOUN occurrences in this domain: adverbial particles and
+# directionals spaCy tags ADV/ADP/PART.
+_ADVERBIAL = frozenset("""
+together aside once twice apart away almost along across behind
+altogether anymore meanwhile
+""".split())
+
+# Common recipe adjectives.  Context can still promote these to VERB
+# (imperative "brown the beef") or NOUN; the list only suppresses the
+# default-NOUN fallback in attributive position ("a large pan").
+_ADJECTIVES = frozenset("""
+hot cold warm small little big large thin thick fresh deep high low soft
+hard fine coarse medium raw ready nice good bad better best same different
+few many much more most less least long short round flat even gentle sweet
+sour salty bitter italian french chinese indian mexican japanese asian
+american other another several double triple single extra regular plain
+favorite optional necessary entire boneless skinless lean tiny huge
+""".split())
+
+# Irregular past/participle forms -> their lemma (only verbs plausible in
+# cooking captions; regular inflection is generated from the lemma).
+_IRREGULAR = {
+    "made": "make", "took": "take", "taken": "take", "given": "give",
+    "gave": "give", "left": "leave", "kept": "keep", "laid": "lay",
+    "broken": "break", "broke": "break", "brought": "bring",
+    "thrown": "throw", "threw": "throw", "ground": "grind",
+    "torn": "tear", "tore": "tear", "stuck": "stick", "frozen": "freeze",
+    "froze": "freeze", "beaten": "beat", "done": "do",
+}
+
+_NUMBERISH = re.compile(r"(?:[\d/.,:%-]+|\d+\w*)\Z")
+_HAS_LETTER = re.compile(r"[a-z]")
+_CVC_TAIL = re.compile(r"[^aeiou][aeiou][^aeiouwxy]\Z")
+
+
+def verb_inflections(lemma: str) -> set:
+    """All regular surface forms of a verb lemma (3sg, gerund, past),
+    with e-drop, final-consonant doubling and y->ies handling."""
+    out = {lemma, lemma + "s", lemma + "es"}
+    if lemma.endswith("e"):
+        out |= {lemma[:-1] + "ing", lemma + "d"}
+    else:
+        out |= {lemma + "ing", lemma + "ed"}
+        if _CVC_TAIL.search(lemma):  # chop -> chopping/chopped
+            out |= {lemma + lemma[-1] + "ing", lemma + lemma[-1] + "ed"}
+    if lemma.endswith("y") and len(lemma) > 2 and lemma[-2] not in "aeiou":
+        out |= {lemma[:-1] + "ies", lemma[:-1] + "ied"}
+    return out
+
+
+class LexiconTagger:
+    """Callable tagger: sentence -> [(token, tag)] with tags in
+    {VERB, NOUN, OTHER}.  Same protocol as the spaCy/nltk tagger
+    adapters in cli/build_pos_vocab.py."""
+
+    def __init__(self, verb_lemmas: Optional[Sequence[str]] = None):
+        lemmas = set(verb_lemmas or ())
+        forms = set()
+        for v in lemmas:
+            forms |= verb_inflections(v)
+        forms |= set(_IRREGULAR)
+        self.verb_lemmas = lemmas
+        self.verb_forms = forms
+
+    def tag_words(self, words: Sequence[str]) -> List[str]:
+        tags: List[str] = []
+        seen_content = False  # before the first content word = imperative slot
+        for i, w in enumerate(words):
+            lw = w.lower()
+            prev = words[i - 1].lower() if i else None
+            if (lw in _FUNCTION_WORDS or lw in _ADVERBIAL
+                    or _NUMBERISH.match(w) or not _HAS_LETTER.search(lw)):
+                tags.append("OTHER")
+                continue
+            if lw.endswith("ly") and len(lw) > 4:  # adverbs; keeps "fly"
+                tags.append("OTHER")
+                continue
+            if not seen_content:
+                # captions are imperative: the first content word is the
+                # command verb ("brown the beef", "add the onions")
+                if lw in self.verb_forms:
+                    tags.append("VERB")
+                else:
+                    tags.append("OTHER" if lw in _ADJECTIVES else "NOUN")
+                seen_content = True
+                continue
+            if lw in self.verb_forms and prev in ("to", "and", ","):
+                # coordinated or infinitive verb ("... and stir", "to boil")
+                tags.append("VERB")
+                continue
+            if lw in _ADJECTIVES:
+                tags.append("OTHER")
+                continue
+            if (lw in self.verb_forms
+                    and (lw.endswith("ing") or lw.endswith("ed"))
+                    and (prev is None or prev not in _FUNCTION_WORDS)):
+                # participial use not governed by a determiner/preposition
+                tags.append("VERB")
+                continue
+            tags.append("NOUN")
+        return tags
+
+    def __call__(self, sentence: str) -> List[Tuple[str, str]]:
+        from svpc_tpu.tokenization import word_tokenize
+        words = word_tokenize(sentence)
+        return list(zip(words, self.tag_words(words)))
+
+
+def lexicon_tagger(verb_vocab_path: Optional[str] = None) -> LexiconTagger:
+    """Build a LexiconTagger, optionally seeding the verb lexicon from a
+    verb-vocab JSON (e.g. the reference's cache/bosselut_verb_vocab.json:
+    384 cooking-verb lemmas)."""
+    lemmas: Sequence[str] = ()
+    if verb_vocab_path:
+        with open(verb_vocab_path) as f:
+            lemmas = list(json.load(f))
+    return LexiconTagger(lemmas)

@@ -105,14 +105,92 @@ def test_cli_end_to_end_with_stub(tmp_path, monkeypatch):
     assert "pos" not in json.loads(tp.read_text())["v1"]
 
 
-def test_cli_degrades_without_tagger(tmp_path, monkeypatch):
+def test_cli_auto_falls_back_to_lexicon_tagger(tmp_path, monkeypatch,
+                                               capsys):
+    """Without spaCy/nltk model data, --tagger auto uses the built-in
+    lexicon tagger (with a stderr notice) instead of dying — the host
+    this repo targets has no downloadable tagger data."""
+    import svpc_tpu.cli.build_pos_vocab as bpv
+
+    tp = tmp_path / "train.json"
+    tp.write_text(json.dumps(
+        {"v": {"sentences": ["brown the beef in a large pan"]}}))
+    cache = tmp_path / "cache"
+    monkeypatch.setattr(bpv, "spacy_tagger", lambda: None)
+    monkeypatch.setattr(bpv, "nltk_tagger", lambda: None)
+    monkeypatch.setattr(sys, "argv",
+                        ["build_pos_vocab", "--train_path", str(tp),
+                         "--cache", str(cache)])
+    bpv.main()
+    assert "lexicon tagger" in capsys.readouterr().err
+    w2i = json.load(open(cache / "pos_vocab_word2idx.json"))
+    # imperative-initial "brown" is a VERB here, "large" attributive ADJ
+    # is excluded, "beef"/"pan" are NOUNs
+    assert list(w2i) == ["brown", "beef", "pan"]
+
+
+def test_cli_explicit_backend_unavailable_dies(tmp_path, monkeypatch):
     import svpc_tpu.cli.build_pos_vocab as bpv
 
     tp = tmp_path / "train.json"
     tp.write_text(json.dumps({"v": {"sentences": ["a"]}}))
     monkeypatch.setattr(bpv, "spacy_tagger", lambda: None)
-    monkeypatch.setattr(bpv, "nltk_tagger", lambda: None)
     monkeypatch.setattr(sys, "argv",
-                        ["build_pos_vocab", "--train_path", str(tp)])
-    with pytest.raises(SystemExit, match="no POS tagger"):
+                        ["build_pos_vocab", "--train_path", str(tp),
+                         "--tagger", "spacy"])
+    with pytest.raises(SystemExit, match="not.*available"):
         bpv.main()
+
+
+def test_lexicon_tagger_agreement_with_shipped_vocab():
+    """Rebuild the POS vocabulary over the real YC2 training annotations
+    with the data-free lexicon tagger and compare against the
+    reference's shipped spaCy-built cache/pos_vocab_word2idx.json: type
+    recall >= 0.99, precision >= 0.78 (the gap is spaCy tagging foreign
+    food words PROPN/X — 'chili', 'garam', 'adobo' — which excludes them
+    from the shipped vocab; svpc_tpu/tagging.py docstring)."""
+    from svpc_tpu.cli.build_pos_vocab import build_pos_vocab
+    from svpc_tpu.tagging import lexicon_tagger
+    from svpc_tpu.tokenization import word_tokenize
+
+    anns = json.load(open(REF_TRAIN))
+    shipped = set(json.load(open(REF_VOCAB)))
+    tag = lexicon_tagger("/root/reference/cache/bosselut_verb_vocab.json")
+    pred = set(build_pos_vocab(anns, tag))
+
+    tokens = {w for ann in anns.values()
+              for s in ann["sentences"] for w in word_tokenize(s)}
+    # the comparison universe is this file's tokens (the shipped vocab
+    # was built from the author's pre-bosselut split: 5/1558 words never
+    # occur here)
+    shipped_here = shipped & tokens
+    tp = len(pred & shipped_here)
+    recall = tp / len(shipped_here)
+    precision = len(pred & shipped) / len(pred)
+    assert recall >= 0.99, recall      # measured 0.9942
+    assert precision >= 0.78, precision  # measured 0.7898
+    # a rebuilt vocab is a modest superset, not an explosion
+    assert len(pred) <= 1.3 * len(shipped)
+
+
+def test_lexicon_tagger_rules():
+    """Context rules on representative recipe sentences."""
+    from svpc_tpu.tagging import LexiconTagger
+
+    t = LexiconTagger(["brown", "chop", "add", "stir", "boil", "slice"])
+    # imperative-initial verb, adjective suppressed, nouns by default
+    assert t("brown the beef in a large pan") == [
+        ("brown", "VERB"), ("the", "OTHER"), ("beef", "NOUN"),
+        ("in", "OTHER"), ("a", "OTHER"), ("large", "OTHER"),
+        ("pan", "NOUN")]
+    # coordinated + infinitive verbs; inflections from the lemma
+    assert dict(t("chop the onions and stir")) == {
+        "chop": "VERB", "the": "OTHER", "onions": "NOUN",
+        "and": "OTHER", "stir": "VERB"}
+    tags = dict(t("bring it to boil"))
+    assert tags["boil"] == "VERB"
+    # numbers / adverbs excluded
+    assert dict(t("slice 2 tomatoes finely"))["2"] == "OTHER"
+    assert dict(t("slice 2 tomatoes finely"))["finely"] == "OTHER"
+    # the same surface form is NOUN in nominal context
+    assert dict(t("place the slices on the tray"))["slices"] == "NOUN"
