@@ -39,6 +39,14 @@ together aside once twice apart away almost along across behind
 altogether anymore meanwhile
 """.split())
 
+# Spelled-out numerals (spaCy: NUM, never VERB/NOUN).  "one" and "half"
+# stay taggable — spaCy reads them as pronominal/partitive NOUNs ("add
+# one", "cut in half") and the shipped vocab contains both.
+_NUMBER_WORDS = frozenset("""
+two three four five six seven eight nine ten eleven twelve dozen
+twenty thirty forty fifty hundred thousand
+""".split())
+
 # Common recipe adjectives.  Context can still promote these to VERB
 # (imperative "brown the beef") or NOUN; the list only suppresses the
 # default-NOUN fallback in attributive position ("a large pan").
@@ -103,6 +111,7 @@ class LexiconTagger:
             lw = w.lower()
             prev = words[i - 1].lower() if i else None
             if (lw in _FUNCTION_WORDS or lw in _ADVERBIAL
+                    or lw in _NUMBER_WORDS
                     or _NUMBERISH.match(w) or not _HAS_LETTER.search(lw)):
                 tags.append("OTHER")
                 continue

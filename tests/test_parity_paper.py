@@ -5,8 +5,9 @@ speed; every BASELINE.md claim, however, is stated against the
 experiment-of-record config (hidden 768, 12 heads, Lv=100, Lt=22,
 3072-dim features — reference src/train.py:471-509 +
 scripts/train.sh:19-21).  This file asserts forward-loss and
-token-for-token greedy parity directly at that geometry in ``full``
-(vivt) mode on 2 videos (round-1 VERDICT item 2).
+token-for-token greedy parity directly at that geometry on 2 videos,
+for all four ablation modes of record (BASELINE.json: MODEL_TYPE in
+{v, vi, viv, vivt}; round-1 VERDICT item 2).
 """
 
 import numpy as np
@@ -22,15 +23,19 @@ pytestmark = [
 
 N_VIDEOS = 2
 
+# reference mode names for vivt / viv / vi / v
+MODES = ["full", "reason_copy", "copy", "video"]
 
-@pytest.fixture(scope="module")
-def paper_setup():
+
+@pytest.fixture(scope="module", params=MODES)
+def paper_setup(request):
+    mode = request.param
     names, feat_dir, dur_file = rb.setup_features(
         N_VIDEOS, feat_dims=(2048, 1024), tag="_paper")
     ref_model, ref_ds, _ = rb.build_reference(
-        "full", feat_dir, dur_file, geom=rb.PAPER_GEOM, dims=rb.PAPER_DIMS)
+        mode, feat_dir, dur_file, geom=rb.PAPER_GEOM, dims=rb.PAPER_DIMS)
     cfg, ours_ds = rb.build_ours(
-        "full", feat_dir, dur_file, geom=rb.PAPER_GEOM, dims=rb.PAPER_DIMS)
+        mode, feat_dir, dur_file, geom=rb.PAPER_GEOM, dims=rb.PAPER_DIMS)
     assert cfg.model.hidden_size == 768
     assert cfg.model.num_attention_heads == 12
     assert cfg.model.max_v_len == 100 and cfg.model.max_t_len == 22
