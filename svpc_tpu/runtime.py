@@ -2,7 +2,55 @@
 
 from __future__ import annotations
 
+import logging
 import os
+import time
+
+logger = logging.getLogger(__name__)
+
+# Failure signatures of the TPU-tunnel RPC layer (observed on the axon
+# platform: a mid-epoch recompile died with "INTERNAL: http://127.0.0.1:
+# 8083/remote_compile: read body: response body closed before all bytes
+# were read").  These happen before the computation executes, so the call
+# is safe to reissue; anything else re-raises immediately.
+_TRANSIENT_MARKERS = ("remote_compile", "read body", "connection reset",
+                      "DEADLINE_EXCEEDED", "UNAVAILABLE")
+
+
+def transient_retry(fn, attempts: int = 3, what: str = "step"):
+    """Wrap a jitted callable so transport/compile-phase RPC flakes are
+    retried with backoff instead of killing a multi-hour run.
+
+    If a retry trips over inputs the failed attempt already donated, the
+    'Array has been deleted' error is chained with resume advice — the
+    run's checkpoint_last is the recovery point in that case."""
+    import jax
+
+    def wrapped(*args, **kwargs):
+        last = None
+        for attempt in range(attempts):
+            try:
+                return fn(*args, **kwargs)
+            except jax.errors.JaxRuntimeError as e:
+                msg = str(e)
+                if last is not None and "deleted" in msg.lower():
+                    raise RuntimeError(
+                        f"the failed {what} had already consumed its "
+                        "donated inputs — resume from the last checkpoint "
+                        "(--resume_from <workdir>/checkpoint_last)"
+                    ) from last
+                if (attempt == attempts - 1
+                        or not any(m in msg for m in _TRANSIENT_MARKERS)):
+                    raise
+                last = e
+                logger.warning(
+                    "transient runtime failure in %s (attempt %d/%d), "
+                    "retrying: %s", what, attempt + 1, attempts,
+                    msg.splitlines()[0] if msg else msg)
+                time.sleep(2.0 * (attempt + 1))
+        raise last  # pragma: no cover — loop always returns or raises
+
+    return wrapped
 
 
 def enable_compilation_cache(path: str = "") -> None:

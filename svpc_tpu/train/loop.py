@@ -183,6 +183,7 @@ def make_eval_decoder(model, cfg: Config, dataset: CaptionDataset,
     ``(tokens (B,n,S,T), scores (B,n,S))`` ranked best-first."""
     eff_bs = eval_batch_size(cfg, len(dataset), mesh)
     cfg = cfg.replace_train(val_batch_size=eff_bs)
+    from svpc_tpu.runtime import transient_retry
     if beam_size and beam_size > 1:
         from svpc_tpu.decode.beam import beam_decode
         jit_decode = jax.jit(
@@ -191,6 +192,9 @@ def make_eval_decoder(model, cfg: Config, dataset: CaptionDataset,
     else:
         jit_decode = jax.jit(
             lambda p, b: greedy_decode(model, p, b))
+    # eval decodes compile a new program per (batch, pack) shape — the
+    # recompile RPC can flake on the TPU tunnel; reissue (no donation here)
+    jit_decode = transient_retry(jit_decode, what="decode")
     builder = eval_packing_builder(cfg, mesh, dataset, eff_bs)
     return dict(cfg=cfg, jit=jit_decode, builder=builder,
                 transform=cast_transform(cfg), mesh=mesh)
@@ -348,16 +352,23 @@ def train(cfg: Config, workdir: str,
         step_out_shardings = (state_shardings(state),
                               replicated_sharding(mesh))
 
-    train_step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0,
-                         out_shardings=step_out_shardings)
+    # transient_retry: mid-epoch recompiles go over the TPU-tunnel RPC,
+    # which can flake (svpc_tpu/runtime.py) — reissue instead of dying
+    from svpc_tpu.runtime import transient_retry
+    train_step = transient_retry(
+        jax.jit(make_train_step(model, tx, cfg), donate_argnums=0,
+                out_shardings=step_out_shardings), what="train step")
     if accum > 1:
         from svpc_tpu.train.step import make_apply_step, make_grad_step, \
             tree_add
-        grad_step = jax.jit(make_grad_step(model, cfg))
-        apply_step = jax.jit(make_apply_step(tx, cfg), donate_argnums=0,
-                             out_shardings=step_out_shardings)
+        grad_step = transient_retry(jax.jit(make_grad_step(model, cfg)),
+                                    what="grad step")
+        apply_step = transient_retry(
+            jax.jit(make_apply_step(tx, cfg), donate_argnums=0,
+                    out_shardings=step_out_shardings), what="apply step")
         add_grads = jax.jit(tree_add, donate_argnums=(0,))
-    eval_step = jax.jit(make_eval_step(model, cfg))
+    eval_step = transient_retry(jax.jit(make_eval_step(model, cfg)),
+                                what="eval step")
     from svpc_tpu.train.optim import training_rng
     rng = training_rng(cfg.train.seed, cfg.train.rng_impl)
 
@@ -376,9 +387,11 @@ def train(cfg: Config, workdir: str,
             f = open(path, "w")
             f.write(lines[0] if lines else header)
             f.writelines(kept)
+            f.flush()  # rewrite survives a crash before the next row
             return f
         f = open(path, "w")
         f.write(header)
+        f.flush()
         return f
 
     train_log = open_log("train.log.csv", "epoch,loss,ppl,accuracy\n")
