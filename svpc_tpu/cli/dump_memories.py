@@ -27,10 +27,15 @@ logger = logging.getLogger(__name__)
 
 
 def dump_memories(model, params, dataset, cfg, max_batches=None):
+    from svpc_tpu.runtime import transient_retry
+
     @jax.jit
     def forward(p, b):
         return model.apply(p, b, deterministic=True, return_memory=True,
                            rngs={"gumbel": jax.random.PRNGKey(0)})
+
+    # per-shape recompiles ride the tunnel RPC (svpc_tpu/runtime.py)
+    forward = transient_retry(forward, what="memory forward")
 
     dump = {}
     with precision_scope(cfg.model):
