@@ -77,13 +77,14 @@ def _setup(base_cfg, batch_size, packed, baseline):
     return cfg, model, batch, params, total_clips
 
 
-def bench_train(base_cfg, batch_size, iters, packed, baseline):
+def bench_train(base_cfg, batch_size, iters, packed, baseline, scan=1):
     import jax
+    import jax.numpy as jnp
 
     from svpc_tpu.precision import precision_scope
     from svpc_tpu.train.optim import make_optimizer, training_rng
     from svpc_tpu.train.state import TrainState
-    from svpc_tpu.train.step import make_train_step
+    from svpc_tpu.train.step import make_multi_train_step, make_train_step
 
     cfg, model, batch, params, total_clips = _setup(
         base_cfg, batch_size, packed, baseline)
@@ -93,20 +94,35 @@ def bench_train(base_cfg, batch_size, iters, packed, baseline):
         tx = make_optimizer(cfg.train, steps_per_epoch=100)
         state = TrainState.create(params, tx, use_ema=True,
                                   ema_dtype=opt_dtype)
-        train_step = jax.jit(make_train_step(model, tx, cfg),
-                             donate_argnums=0)
+        if scan > 1:
+            # k-steps-per-dispatch (cli --steps_per_dispatch): one scan
+            # program carries `scan` optimizer steps — same math, fewer
+            # dispatch RPCs (the measured residual at this geometry)
+            train_step = jax.jit(make_multi_train_step(model, tx, cfg),
+                                 donate_argnums=0)
+            batch = jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (scan,) + x.shape),
+                batch)
+        else:
+            train_step = jax.jit(make_train_step(model, tx, cfg),
+                                 donate_argnums=0)
         rng = training_rng(3, cfg.train.rng_impl)
 
-        # warmup / compile.  NOTE: block_until_ready is a no-op on the
-        # experimental axon platform — force a host transfer to sync.
-        state, m = train_step(state, batch, rng)
-        float(m["loss"])
+        def sync(metrics):
+            # block_until_ready is a no-op on the experimental axon
+            # platform — force a host transfer to sync
+            loss = metrics["loss"]
+            return float(loss[-1] if scan > 1 else loss)
 
+        state, m = train_step(state, batch, rng)  # warmup / compile
+        sync(m)
+
+        n = max(iters // scan, 3) if scan > 1 else iters
         t0 = time.perf_counter()
-        for _ in range(iters):
+        for _ in range(n):
             state, m = train_step(state, batch, rng)
-        float(m["loss"])
-        dt = (time.perf_counter() - t0) / iters
+        sync(m)
+        dt = (time.perf_counter() - t0) / (n * scan)
     return total_clips / dt
 
 
@@ -164,10 +180,15 @@ def main():
         with open(baseline_path) as f:
             baseline = json.load(f)
 
+    # k-steps-per-dispatch scan (cli --steps_per_dispatch): measured
+    # throughput-neutral at the flagship geometry (async dispatch already
+    # hides the RPC latency — BASELINE.md), so 1 stays the default
+    scan = int(os.environ.get("SVPC_BENCH_SCAN", "1"))
+
     train_sweep = {}
     for b in sweep:
         train_sweep[f"b{b}"] = round(
-            bench_train(base_cfg, b, iters, packed, baseline), 2)
+            bench_train(base_cfg, b, iters, packed, baseline, scan=scan), 2)
     best = max(train_sweep.values())
     vs_baseline = (best / baseline["train_clips_per_sec"]
                    if baseline else None)

@@ -103,6 +103,11 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="host batches per optimizer step; exact under "
                         "sum-loss semantics (effective batch = "
                         "batch_size * grad_accum_steps)")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="optimizer steps per device call: K > 1 scans K "
+                        "stacked batches in one compiled program — same "
+                        "trajectory, K-fold fewer dispatch RPCs (requires "
+                        "grad_accum_steps=1)")
     p.add_argument("--no_pack_clips", action="store_true",
                    help="disable clip packing (compute the full padded "
                         "(B, S) step grid like the reference)")
@@ -166,6 +171,7 @@ def config_from_args(args) -> Config:
             zero1=getattr(args, "zero1", False),
             optimizer_dtype=getattr(args, "optimizer_dtype", "float32"),
             grad_accum_steps=args.grad_accum_steps,
+            steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
             pack_clips=not args.no_pack_clips,
             length_group=args.length_group,
             debug=args.debug),

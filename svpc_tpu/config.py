@@ -220,6 +220,13 @@ class TrainConfig:
     # implementation-specific, i.e. this is a seed-like change; parity
     # tests pin the noise itself and are unaffected.
     rng_impl: str = "rbg"           # "rbg" | "threefry2x32"
+    # optimizer steps per device dispatch: K > 1 stacks K host batches
+    # (data/packing.stack_batches) and runs them through one lax.scan
+    # program (train/step.make_multi_train_step).  Same ops, same order,
+    # same trajectory as K single dispatches — only the per-dispatch RPC
+    # latency (the measured single-chip bottleneck at this geometry,
+    # DESIGN.md §7) is amortized K-fold.  Requires grad_accum_steps == 1.
+    steps_per_dispatch: int = 1
     # length-grouped shuffling: sort each window of K*batch_size shuffled
     # videos by (max clip frames, step count) before cutting batches, so
     # packed batches of similar clip length get small video-span buckets.
@@ -227,6 +234,14 @@ class TrainConfig:
     length_group: int = 0
 
     def __post_init__(self):
+        if self.steps_per_dispatch < 1:
+            raise ValueError("steps_per_dispatch must be >= 1")
+        if self.steps_per_dispatch > 1 and self.grad_accum_steps > 1:
+            raise ValueError(
+                "steps_per_dispatch > 1 requires grad_accum_steps == 1 "
+                "(accumulation already splits the optimizer step across "
+                "dispatches; scanning accumulation groups is not "
+                "implemented)")
         if self.pp_size != 1:
             raise NotImplementedError(
                 "pipeline-parallel training is not enabled for this "

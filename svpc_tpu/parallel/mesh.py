@@ -37,6 +37,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("dp"))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a K-stacked multi-step batch (K, B, ...): the scan
+    axis replicates, the batch axis (dim 1) shards over dp."""
+    return NamedSharding(mesh, P(None, "dp"))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -28,7 +28,7 @@ from svpc_tpu.evaluation.para_eval import evaluate_submission
 from svpc_tpu.model import SVPCModel
 from svpc_tpu.parallel.mesh import (
     make_mesh, replicated_sharding, shard_batch, shard_params,
-    shard_state_zero1, state_shardings)
+    shard_state_zero1, stacked_batch_sharding, state_shardings)
 from svpc_tpu.precision import precision_scope
 from svpc_tpu.train.optim import make_optimizer
 from svpc_tpu.train.state import TrainState, save_checkpoint
@@ -117,6 +117,23 @@ def packing_builder(cfg: Config, mesh=None, n_clips: Optional[int] = None,
             fill_workers=cfg.data.num_workers)
 
     return build
+
+
+def group_stack_batches(batch_iter, k: int, max_t_len: int,
+                        dp_shards: int = 1):
+    """Group K consecutive (batch, metas) pairs into one stacked batch
+    for a k-steps-per-dispatch scan (data/packing.stack_batches).  The
+    epoch tail yields a smaller final group rather than dropping data."""
+    from svpc_tpu.data.packing import stack_batches
+    buf, metas = [], []
+    for batch, ms in batch_iter:
+        buf.append(batch)
+        metas.extend(ms)
+        if len(buf) == k:
+            yield stack_batches(buf, max_t_len, dp_shards), metas
+            buf, metas = [], []
+    if buf:
+        yield stack_batches(buf, max_t_len, dp_shards), metas
 
 
 def eval_packing_builder(cfg: Config, mesh, dataset, batch_size: int):
@@ -355,9 +372,19 @@ def train(cfg: Config, workdir: str,
     # transient_retry: mid-epoch recompiles go over the TPU-tunnel RPC,
     # which can flake (svpc_tpu/runtime.py) — reissue instead of dying
     from svpc_tpu.runtime import transient_retry
-    train_step = transient_retry(
-        jax.jit(make_train_step(model, tx, cfg), donate_argnums=0,
-                out_shardings=step_out_shardings), what="train step")
+    spd = max(1, cfg.train.steps_per_dispatch)
+    if spd > 1:
+        # K optimizer steps per device call: same trajectory, ~K-fold
+        # fewer dispatch RPCs (train/step.make_multi_train_step)
+        from svpc_tpu.train.step import make_multi_train_step
+        train_step = transient_retry(
+            jax.jit(make_multi_train_step(model, tx, cfg), donate_argnums=0,
+                    out_shardings=step_out_shardings),
+            what="multi train step")
+    else:
+        train_step = transient_retry(
+            jax.jit(make_train_step(model, tx, cfg), donate_argnums=0,
+                    out_shardings=step_out_shardings), what="train step")
     if accum > 1:
         from svpc_tpu.train.step import make_apply_step, make_grad_step, \
             tree_add
@@ -458,16 +485,23 @@ def train(cfg: Config, workdir: str,
             from svpc_tpu.data.prefetch import prefetch_to_device
             from svpc_tpu.parallel.mesh import batch_sharding
 
+            host_iter = train_ds.batches(
+                cfg.train.batch_size, shuffle=True,
+                seed=cfg.train.seed + epoch,
+                length_group=cfg.train.length_group,
+                builder=packing_builder(cfg, mesh))
+            sharding = batch_sharding(mesh) if mesh is not None else None
+            if spd > 1:
+                host_iter = group_stack_batches(
+                    host_iter, spd, cfg.model.max_t_len,
+                    mesh.shape.get("dp", 1) if mesh is not None else 1)
+                sharding = (stacked_batch_sharding(mesh)
+                            if mesh is not None else None)
             batch_iter = prefetch_to_device(
-                train_ds.batches(cfg.train.batch_size, shuffle=True,
-                                 seed=cfg.train.seed + epoch,
-                                 length_group=cfg.train.length_group,
-                                 builder=packing_builder(cfg, mesh)),
-                size=2,
-                sharding=batch_sharding(mesh) if mesh is not None else None,
-                transform=feat_cast)
+                host_iter, size=2, sharding=sharding, transform=feat_cast)
             acc_grads = None
             n_micro = 0
+            epoch_steps = 0
             for i, (batch, _) in enumerate(batch_iter):
                 if profile_steps and not profiled and not prof_active \
                         and global_step >= 1:
@@ -491,17 +525,22 @@ def train(cfg: Config, workdir: str,
                         acc_grads, n_micro = None, 0
                         opt_step += 1
                 metrics.append(m)
-                global_step += 1
+                # a multi-step dispatch carries K optimizer steps (the
+                # epoch tail may carry fewer)
+                n_in = (int(m["loss"].shape[0])
+                        if spd > 1 and getattr(m["loss"], "ndim", 0) else 1)
+                global_step += n_in
+                epoch_steps += n_in
                 if prof_active and not profiled:
-                    prof_n += 1
+                    prof_n += n_in
                 if prof_active and not profiled and prof_n >= profile_steps:
                     # sync by host transfer: block_until_ready is a no-op
                     # on the axon TPU tunnel (CLAUDE.md)
-                    float(jax.device_get(m["loss"]))
+                    float(np.sum(jax.device_get(m["loss"])))
                     jax.profiler.stop_trace()
                     profiled = True
                     logger.info("profiler trace written to %s/profile", workdir)
-                if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
+                if max_steps_per_epoch and epoch_steps >= max_steps_per_epoch:
                     break
             if acc_grads is not None:
                 # flush a partial accumulation group at epoch end — keep

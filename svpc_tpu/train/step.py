@@ -14,6 +14,7 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from svpc_tpu import tokenization as tok
@@ -115,6 +116,27 @@ def make_train_step(model, tx: optax.GradientTransformation, cfg: Config):
     return train_step
 
 
+def make_multi_train_step(model, tx: optax.GradientTransformation,
+                          cfg: Config):
+    """K optimizer steps per device dispatch via ``lax.scan``.
+
+    Takes a stacked batch (leading axis K — data/packing.stack_batches)
+    and runs the ordinary train step K times inside ONE compiled program:
+    the same ops in the same order as K separate dispatches (the scan body
+    IS make_train_step, rng folding by ``state.step`` included), so the
+    trajectory is identical — only the per-dispatch RPC latency and K-1
+    host round-trips are saved.  Metrics come back stacked (K,) per key;
+    ``aggregate_metrics`` sums arrays, so epoch bookkeeping is unchanged.
+    """
+    step_fn = make_train_step(model, tx, cfg)
+
+    def multi_step(state: TrainState, batches, rng):
+        return jax.lax.scan(lambda st, b: step_fn(st, b, rng),
+                            state, batches)
+
+    return multi_step
+
+
 def make_grad_step(model, cfg: Config):
     """Gradient-accumulation microbatch: grads + metric sums, no update.
 
@@ -191,11 +213,14 @@ def make_eval_step(model, cfg: Config):
 
 
 def aggregate_metrics(metric_list) -> Dict[str, float]:
-    """Epoch-level aggregation mirroring the reference logs."""
+    """Epoch-level aggregation mirroring the reference logs.
+
+    Values may be scalars or stacked (K,) arrays from a multi-step scan
+    dispatch — both sum into the same epoch totals."""
     sums: Dict[str, float] = {}
     for m in metric_list:
         for k, v in m.items():
-            sums[k] = sums.get(k, 0.0) + float(v)
+            sums[k] = sums.get(k, 0.0) + float(np.sum(v))
     n_word = max(sums.get("n_word", 1.0), 1.0)
     out = dict(
         loss_per_word=sums.get("loss", 0.0) / n_word,

@@ -1,0 +1,251 @@
+"""k-steps-per-dispatch scanning (train/step.make_multi_train_step +
+data/packing.stack_batches): one device call carries K optimizer steps.
+
+The scan body IS make_train_step (same rng folding by state.step), so the
+K-step trajectory must match K sequential single-step dispatches; packed
+batches of different buckets are repadded to one group shape first, which
+must not change any value (padding rows/columns are masked out of every
+loss term).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+
+def _setup(mode="full", batch_size=2, n_batches=3, packed=False,
+           dp_shards=1):
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.config import tiny_test_config
+    from svpc_tpu.data.synthetic import synthetic_batch
+    from svpc_tpu.model import SVPCModel
+    from svpc_tpu.train.optim import make_optimizer
+    from svpc_tpu.train.state import TrainState
+
+    cfg = tiny_test_config(mode)
+    cfg = cfg.replace_train(batch_size=batch_size)
+    model = SVPCModel(cfg.model)
+    batches = [synthetic_batch(cfg, batch_size=batch_size, seed=s)
+               for s in range(n_batches)]
+    if packed:
+        from svpc_tpu.data.packing import pack_batch
+        batches = [pack_batch(b, cfg.model.max_t_len, clip_multiple=2,
+                              v_multiple=2, dp_shards=dp_shards)
+                   for b in batches]
+    jbatch = {k: jnp.asarray(v) for k, v in batches[0].items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    params = model.init(rngs, jbatch, deterministic=True)
+    tx = make_optimizer(cfg.train, steps_per_epoch=10)
+    state = TrainState.create(params, tx, use_ema=True)
+    return cfg, model, tx, state, batches
+
+
+def _assert_tree_close(a, b, rtol=1e-6, atol=1e-7):
+    import jax
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(x, np.float32),
+                                   np.asarray(y, np.float32),
+                                   rtol=rtol, atol=atol)
+
+
+def test_multi_step_matches_sequential():
+    """One scan dispatch over K stacked batches == K single dispatches:
+    params, optimizer state, EMA and per-step metrics all match (dropout
+    and gumbel noise included — both paths fold the rng by state.step)."""
+    import jax
+    from svpc_tpu.data.packing import stack_batches
+    from svpc_tpu.train.step import make_multi_train_step, make_train_step
+
+    cfg, model, tx, state0, batches = _setup("full", n_batches=3)
+    rng = jax.random.PRNGKey(7)
+
+    one = jax.jit(make_train_step(model, tx, cfg))
+    seq_state = state0
+    seq_metrics = []
+    for b in batches:
+        seq_state, m = one(seq_state, b, rng)
+        seq_metrics.append(m)
+
+    multi = jax.jit(make_multi_train_step(model, tx, cfg))
+    stacked = stack_batches(batches, cfg.model.max_t_len)
+    multi_state, mm = multi(state0, stacked, rng)
+
+    assert int(multi_state.step) == int(seq_state.step) == 3
+    _assert_tree_close(multi_state.params, seq_state.params)
+    _assert_tree_close(multi_state.opt_state, seq_state.opt_state)
+    _assert_tree_close(multi_state.ema_shadow, seq_state.ema_shadow)
+    for i, m in enumerate(seq_metrics):
+        np.testing.assert_allclose(float(mm["loss"][i]), float(m["loss"]),
+                                   rtol=1e-6)
+        assert int(mm["n_correct"][i]) == int(m["n_correct"])
+        assert int(mm["n_word"][i]) == int(m["n_word"])
+
+
+def test_repad_packed_value_identity():
+    """Growing a packed batch's (n_clips, v_len) buckets is invisible to
+    the model: identical loss and identical parameter gradients."""
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.data.packing import repad_packed
+
+    cfg, model, _, state, batches = _setup("full", packed=True)
+    b = batches[0]
+    T = cfg.model.max_t_len
+    N = b["clip_mask"].shape[0]
+    v = b["clip_input_ids"].shape[-1] - T
+    grown = repad_packed(b, T, N + 4, min(v + 2, cfg.model.max_v_len), 1)
+    assert grown["clip_mask"].shape[0] == N + 4
+
+    def loss(p, batch):
+        return model.apply({"params": p},
+                           {k: jnp.asarray(x) for k, x in batch.items()},
+                           deterministic=True,
+                           rngs={"gumbel": jax.random.PRNGKey(3)}).total_loss
+
+    p = state.params["params"]
+    l0, g0 = jax.value_and_grad(loss)(p, b)
+    l1, g1 = jax.value_and_grad(loss)(p, grown)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    _assert_tree_close(g0, g1, rtol=1e-5, atol=1e-6)
+
+    # no-op fast path: same geometry returns the same object
+    assert repad_packed(b, T, N, v, 1) is b
+
+
+def test_stack_mixed_packed_buckets():
+    """Batches packed into different (n_clips, v_len) buckets stack into
+    one scan batch, and the scanned trajectory still matches sequential
+    single-step dispatches on the original (smaller) batches."""
+    import jax
+    from svpc_tpu.data.packing import stack_batches
+    from svpc_tpu.train.step import make_multi_train_step, make_train_step
+
+    cfg, model, tx, state0, batches = _setup("reason_copy", packed=True,
+                                             n_batches=2)
+    # force different buckets: regrow the second batch only
+    from svpc_tpu.data.packing import repad_packed
+    T = cfg.model.max_t_len
+    N = batches[1]["clip_mask"].shape[0]
+    v = batches[1]["clip_input_ids"].shape[-1] - T
+    batches[1] = repad_packed(batches[1], T, batches[0]["clip_mask"].shape[0]
+                              + 4, min(v + 2, cfg.model.max_v_len), 1)
+    assert (batches[0]["clip_mask"].shape
+            != batches[1]["clip_mask"].shape)
+
+    rng = jax.random.PRNGKey(7)
+    one = jax.jit(make_train_step(model, tx, cfg))
+    seq_state = state0
+    for b in batches:
+        seq_state, _ = one(seq_state, b, rng)
+
+    stacked = stack_batches(batches, T)
+    assert stacked["clip_mask"].shape[0] == 2
+    multi = jax.jit(make_multi_train_step(model, tx, cfg))
+    multi_state, _ = multi(state0, stacked, rng)
+    _assert_tree_close(multi_state.params, seq_state.params,
+                       rtol=1e-5, atol=1e-6)
+
+
+def test_multi_step_under_dp_mesh():
+    """Stacked batches shard over dp on axis 1 (stacked_batch_sharding);
+    the dp=2 multi-step trajectory equals the single-device sequential
+    one (sum-loss semantics)."""
+    import jax
+    from svpc_tpu.data.packing import stack_batches
+    from svpc_tpu.parallel.mesh import (make_mesh, shard_params,
+                                        stacked_batch_sharding)
+    from svpc_tpu.train.step import make_multi_train_step, make_train_step
+
+    assert len(jax.devices()) >= 2
+    cfg, model, tx, state0, batches = _setup("copy", batch_size=4,
+                                             n_batches=2, packed=True,
+                                             dp_shards=2)
+    rng = jax.random.PRNGKey(7)
+    one = jax.jit(make_train_step(model, tx, cfg))
+    seq_state = state0
+    for b in batches:
+        seq_state, _ = one(seq_state, b, rng)
+
+    mesh = make_mesh(dp_size=2)
+    state_m = shard_params(mesh, state0)  # whole state, loop.py-style
+    stacked = stack_batches(batches, cfg.model.max_t_len, dp_shards=2)
+    sh = stacked_batch_sharding(mesh)
+    stacked = {k: jax.device_put(v, sh) for k, v in stacked.items()}
+    multi = jax.jit(make_multi_train_step(model, tx, cfg))
+    state_m, mm = multi(state_m, stacked, rng)
+    _assert_tree_close(state_m.params, seq_state.params,
+                       rtol=2e-5, atol=1e-6)
+
+
+def test_aggregate_metrics_sums_stacked_arrays():
+    from svpc_tpu.train.step import aggregate_metrics
+
+    stacked = {"loss": np.array([2.0, 4.0]),
+               "n_correct": np.array([1, 3]),
+               "n_word": np.array([2, 4]),
+               "nonfinite_skipped": np.array([0, 1], np.int32)}
+    scalar = {"loss": 6.0, "n_correct": 4, "n_word": 6,
+              "nonfinite_skipped": 0}
+    a = aggregate_metrics([stacked])
+    b = aggregate_metrics([scalar])
+    assert a["loss_per_word"] == pytest.approx(b["loss_per_word"])
+    assert a["acc"] == pytest.approx(b["acc"])
+    assert a["nonfinite_skipped"] == 1
+
+
+def test_steps_per_dispatch_requires_no_accum():
+    from svpc_tpu.config import TrainConfig
+
+    with pytest.raises(ValueError):
+        TrainConfig(steps_per_dispatch=2, grad_accum_steps=2)
+    with pytest.raises(ValueError):
+        TrainConfig(steps_per_dispatch=0)
+
+
+def test_train_loop_steps_per_dispatch(tmp_path):
+    """The real train() loop with --steps_per_dispatch 2 produces the
+    same history as single-step dispatches (epoch tail exercises the
+    smaller final group)."""
+    import json
+
+    from tests import reference_bridge as rb
+
+    if not rb.reference_available():
+        pytest.skip("reference repo not mounted")
+
+    names, feat_dir, dur_file = rb.setup_features(3)
+    cfg, _ = rb.build_ours("copy", feat_dir, dur_file)
+    # dropout makes the two runs share rng folding exactly (by step), so
+    # histories must match to float tolerance
+    cfg = cfg.replace_train(batch_size=1, val_batch_size=2, n_epoch=1,
+                            max_es_cnt=10)
+    from svpc_tpu.data.pipeline import CaptionDataset
+    from svpc_tpu.train import loop as loop_mod
+
+    orig_init = CaptionDataset.__init__
+
+    def patched_init(self, c, split, **kw):
+        orig_init(self, c, "val", **kw)
+        self.split = split
+
+    CaptionDataset.__init__ = patched_init
+    try:
+        loop_mod.train(cfg, str(tmp_path / "one"),
+                       eval_language=False, tensorboard=False)
+        loop_mod.train(cfg.replace_train(steps_per_dispatch=2),
+                       str(tmp_path / "multi"),
+                       eval_language=False, tensorboard=False)
+    finally:
+        CaptionDataset.__init__ = orig_init
+
+    h1 = json.load(open(tmp_path / "one" / "history.json"))
+    h2 = json.load(open(tmp_path / "multi" / "history.json"))
+    assert len(h1) == len(h2) == 1
+    np.testing.assert_allclose(h1[0]["train"]["loss_per_word"],
+                               h2[0]["train"]["loss_per_word"], rtol=1e-5)
+    np.testing.assert_allclose(h1[0]["val"]["loss_per_word"],
+                               h2[0]["val"]["loss_per_word"], rtol=1e-5)
