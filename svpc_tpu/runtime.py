@@ -24,14 +24,17 @@ def transient_retry(fn, attempts: int = 3, what: str = "step"):
     If a retry trips over inputs the failed attempt already donated, the
     'Array has been deleted' error is chained with resume advice — the
     run's checkpoint_last is the recovery point in that case."""
-    import jax
 
     def wrapped(*args, **kwargs):
         last = None
         for attempt in range(attempts):
             try:
                 return fn(*args, **kwargs)
-            except jax.errors.JaxRuntimeError as e:
+            # RuntimeError, not jax.errors.JaxRuntimeError: the
+            # deleted-donated-array error a retry trips over is a plain
+            # RuntimeError (JaxRuntimeError subclasses it, so transport
+            # flakes are still caught here too)
+            except RuntimeError as e:
                 msg = str(e)
                 if last is not None and "deleted" in msg.lower():
                     raise RuntimeError(

@@ -8,6 +8,7 @@ jit-compiled, and data-parallel over a device mesh.
 
 from __future__ import annotations
 
+import itertools
 import json
 import logging
 import math
@@ -492,6 +493,12 @@ def train(cfg: Config, workdir: str,
                 builder=packing_builder(cfg, mesh))
             sharding = batch_sharding(mesh) if mesh is not None else None
             if spd > 1:
+                if max_steps_per_epoch:
+                    # cap BEFORE grouping (one host batch == one optimizer
+                    # step) so a K-step dispatch can't overshoot the cap —
+                    # the capped trajectory stays identical to spd=1
+                    host_iter = itertools.islice(
+                        host_iter, max_steps_per_epoch)
                 host_iter = group_stack_batches(
                     host_iter, spd, cfg.model.max_t_len,
                     mesh.shape.get("dp", 1) if mesh is not None else 1)
@@ -502,7 +509,7 @@ def train(cfg: Config, workdir: str,
             acc_grads = None
             n_micro = 0
             epoch_steps = 0
-            for i, (batch, _) in enumerate(batch_iter):
+            for batch, _ in batch_iter:
                 if profile_steps and not profiled and not prof_active \
                         and global_step >= 1:
                     # skip the compile step; trace wherever the first

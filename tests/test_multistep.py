@@ -249,3 +249,45 @@ def test_train_loop_steps_per_dispatch(tmp_path):
                                h2[0]["train"]["loss_per_word"], rtol=1e-5)
     np.testing.assert_allclose(h1[0]["val"]["loss_per_word"],
                                h2[0]["val"]["loss_per_word"], rtol=1e-5)
+
+
+def test_train_loop_spd_respects_step_cap(tmp_path):
+    """max_steps_per_epoch caps the host batches BEFORE grouping, so a
+    K-step dispatch cannot overshoot: capped spd=2 history equals capped
+    spd=1 history (3 videos, cap 2 → one 2-step group, one step dropped)."""
+    import json
+
+    from tests import reference_bridge as rb
+
+    if not rb.reference_available():
+        pytest.skip("reference repo not mounted")
+
+    names, feat_dir, dur_file = rb.setup_features(3)
+    cfg, _ = rb.build_ours("copy", feat_dir, dur_file)
+    cfg = cfg.replace_train(batch_size=1, val_batch_size=2, n_epoch=1,
+                            max_es_cnt=10)
+    from svpc_tpu.data.pipeline import CaptionDataset
+    from svpc_tpu.train import loop as loop_mod
+
+    orig_init = CaptionDataset.__init__
+
+    def patched_init(self, c, split, **kw):
+        orig_init(self, c, "val", **kw)
+        self.split = split
+
+    CaptionDataset.__init__ = patched_init
+    try:
+        loop_mod.train(cfg, str(tmp_path / "one"), max_steps_per_epoch=2,
+                       eval_language=False, tensorboard=False)
+        loop_mod.train(cfg.replace_train(steps_per_dispatch=2),
+                       str(tmp_path / "multi"), max_steps_per_epoch=2,
+                       eval_language=False, tensorboard=False)
+    finally:
+        CaptionDataset.__init__ = orig_init
+
+    h1 = json.load(open(tmp_path / "one" / "history.json"))
+    h2 = json.load(open(tmp_path / "multi" / "history.json"))
+    np.testing.assert_allclose(h1[0]["train"]["loss_per_word"],
+                               h2[0]["train"]["loss_per_word"], rtol=1e-5)
+    np.testing.assert_allclose(h1[0]["val"]["loss_per_word"],
+                               h2[0]["val"]["loss_per_word"], rtol=1e-5)

@@ -71,7 +71,10 @@ def test_donated_inputs_after_transient_chain_resume_advice(monkeypatch):
         calls.append(x)
         if len(calls) == 1:
             raise _jax_err("INTERNAL: remote_compile: read body")
-        raise _jax_err("Array has been deleted with shape=float32[8]")
+        # jax raises the deleted-donated-array error as a PLAIN
+        # RuntimeError (NOT JaxRuntimeError — verified on jax 0.9.0), so
+        # this test must model that exact type or it masks a dead branch
+        raise RuntimeError("Array has been deleted with shape=float32[8]")
 
     with pytest.raises(RuntimeError, match="resume_from") as e:
         runtime.transient_retry(donated, attempts=3, what="train step")(0)
