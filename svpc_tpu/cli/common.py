@@ -178,6 +178,27 @@ def config_from_args(args) -> Config:
     )
 
 
+def adopt_checkpoint_sidecar(cfg: Config, checkpoint_path: str) -> Config:
+    """Adopt training-time fields that change the stored tree from the
+    checkpoint's cfg sidecar: a tp>1 run pads vocab tables
+    (vocab_pad_multiple -> 952-row embeddings) and optimizer_dtype
+    bfloat16 stores m/v/EMA rounded — without these the restore template's
+    shapes/dtypes can't match the checkpoint; ema_decay=0 runs carry no
+    ema_shadow entry at all."""
+    sidecar = os.path.abspath(checkpoint_path) + ".cfg.json"
+    if os.path.exists(sidecar):
+        saved = Config.from_json(sidecar)
+        if saved.model.vocab_pad_multiple != cfg.model.vocab_pad_multiple:
+            cfg = cfg.replace_model(
+                vocab_pad_multiple=saved.model.vocab_pad_multiple)
+        if saved.train.optimizer_dtype != cfg.train.optimizer_dtype:
+            cfg = cfg.replace_train(
+                optimizer_dtype=saved.train.optimizer_dtype)
+        if saved.train.ema_decay != cfg.train.ema_decay:
+            cfg = cfg.replace_train(ema_decay=saved.train.ema_decay)
+    return cfg
+
+
 def load_eval_model(cfg: Config, args, make_ds):
     """(cfg, model, eval_params, dataset) for the offline tools.
 
@@ -193,23 +214,7 @@ def load_eval_model(cfg: Config, args, make_ds):
         cfg, model, eval_params = import_reference_checkpoint(
             args.checkpoint, cfg)
     else:
-        # adopt training-time fields that change the stored tree from the
-        # checkpoint's cfg sidecar: a tp>1 run pads vocab tables
-        # (vocab_pad_multiple → 952-row embeddings) and optimizer_dtype
-        # bfloat16 stores m/v/EMA rounded — without these the restore
-        # template's shapes/dtypes can't match the checkpoint.
-        sidecar = os.path.abspath(args.checkpoint) + ".cfg.json"
-        if os.path.exists(sidecar):
-            saved = Config.from_json(sidecar)
-            if saved.model.vocab_pad_multiple != cfg.model.vocab_pad_multiple:
-                cfg = cfg.replace_model(
-                    vocab_pad_multiple=saved.model.vocab_pad_multiple)
-            if saved.train.optimizer_dtype != cfg.train.optimizer_dtype:
-                cfg = cfg.replace_train(
-                    optimizer_dtype=saved.train.optimizer_dtype)
-            if saved.train.ema_decay != cfg.train.ema_decay:
-                # ema_decay=0 runs carry no ema_shadow entry at all
-                cfg = cfg.replace_train(ema_decay=saved.train.ema_decay)
+        cfg = adopt_checkpoint_sidecar(cfg, args.checkpoint)
     ds = make_ds(cfg)
     if len(ds) == 0:
         # e.g. every feature file missing — fail with the reason instead

@@ -1,0 +1,209 @@
+"""Caption serving daemon: HTTP front-end over the dynamic batcher.
+
+The reference has no online inference at all (SURVEY §2: every entry
+point is an offline script over an annotated split).  This daemon loads
+a checkpoint once, compiles ONE fixed-shape decode program, and answers
+concurrent single-video requests with dynamic batching
+(svpc_tpu/serving.py).
+
+    python -m svpc_tpu.cli.serve --model_type vivt \
+        --checkpoint run/checkpoint_best \
+        --video_feature_dir features --duration_file durations.csv \
+        --port 8700 --batch_videos 8 --max_wait_ms 25
+
+API (JSON over HTTP):
+
+  POST /v1/captions
+      {"video_id": "...", "timestamps": [[start_s, end_s], ...],
+       "ingredients": ["olive oil", ...]}
+   -> {"video_id": "...",
+       "captions": [{"timestamp": [s, e], "sentence": "..."} ...]}
+      (features are read from --video_feature_dir/<vid>_{resnet,bn}.npy;
+       the duration CSV must carry a row per video)
+  GET /healthz     -> {"status": "ok", ...model/serving geometry...}
+  GET /v1/stats    -> request/batch counters + latency quantiles
+
+Errors: 400 (bad spec / unknown video), 503 (decode timeout), 500.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from svpc_tpu.cli.common import (add_common_args, adopt_checkpoint_sidecar,
+                                 config_from_args)
+from svpc_tpu.serving import (CaptionService, DynamicBatcher, ServingError,
+                              dummy_example)
+
+logger = logging.getLogger(__name__)
+
+
+def load_serving_model(cfg, args):
+    """(cfg, model, eval_params) without a populated dataset — the
+    abstract checkpoint restore draws its sample batch from a zero-filled
+    dummy example instead (serving starts with no videos on hand)."""
+    if getattr(args, "torch_checkpoint", False):
+        from svpc_tpu.model.load_reference import import_reference_checkpoint
+        return import_reference_checkpoint(args.checkpoint, cfg)
+    cfg = adopt_checkpoint_sidecar(cfg, args.checkpoint)
+    from svpc_tpu.data.pipeline import batch_examples
+    from svpc_tpu.train.loop import restore_train_state
+    sample = batch_examples([dummy_example(cfg, cfg.model.max_n_sen,
+                                           cfg.model.action_vocab_size)])
+    model, state = restore_train_state(cfg, sample, args.checkpoint)
+    return cfg, model, state.eval_params()
+
+
+class CaptionHandler(BaseHTTPRequestHandler):
+    """One handler per connection (ThreadingHTTPServer); the service and
+    batcher hang off the server object."""
+
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *fmt_args):  # route to logging, not stderr
+        logger.debug("%s - %s", self.address_string(), fmt % fmt_args)
+
+    def _reply(self, code: int, obj: dict) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        srv = self.server
+        if self.path == "/healthz":
+            svc = srv.service
+            self._reply(200, {
+                "status": "ok",
+                "model_mode": svc.cfg.model.model_mode,
+                "decoder": (f"beam{svc.beam_size}"
+                            if svc.beam_size > 1 else "greedy"),
+                "batch_videos": svc.batch_videos,
+                "max_clips": svc.max_clips,
+                "compute_dtype": svc.cfg.model.compute_dtype,
+            })
+        elif self.path == "/v1/stats":
+            self._reply(200, srv.batcher.stats.snapshot())
+        else:
+            self._reply(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):
+        if self.path != "/v1/captions":
+            self._reply(404, {"error": f"unknown path {self.path}"})
+            return
+        srv = self.server
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            video_id = req.get("video_id")
+            if not video_id:
+                raise ServingError("request needs a 'video_id'")
+            entry = srv.service.make_entry(video_id, req)
+            sentences = srv.batcher.submit(entry,
+                                           timeout=srv.request_timeout)
+            self._reply(200, {
+                "video_id": video_id,
+                "captions": [{"timestamp": entry["timestamps"][i],
+                              "sentence": s}
+                             for i, s in enumerate(sentences)],
+            })
+        except (ServingError, ValueError, json.JSONDecodeError) as e:
+            self._reply(400, {"error": str(e)})
+        except TimeoutError as e:
+            self._reply(503, {"error": str(e)})
+        except Exception as e:  # keep the daemon alive
+            logger.exception("request failed")
+            self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+class CaptionHTTPServer(ThreadingHTTPServer):
+    daemon_threads = True
+
+    def __init__(self, addr, service: CaptionService,
+                 batcher: DynamicBatcher, request_timeout: float = 60.0):
+        super().__init__(addr, CaptionHandler)
+        self.service = service
+        self.batcher = batcher
+        self.request_timeout = request_timeout
+
+
+def start_server(service: CaptionService, host: str = "127.0.0.1",
+                 port: int = 0, max_wait_ms: float = 25.0,
+                 request_timeout: float = 60.0):
+    """Build batcher + HTTP server and serve on a background thread;
+    returns the server (its .server_address carries the bound port)."""
+    batcher = DynamicBatcher(service, max_wait_ms=max_wait_ms)
+    server = CaptionHTTPServer((host, port), service, batcher,
+                               request_timeout)
+    thread = threading.Thread(target=server.serve_forever,
+                              name="svpc-http", daemon=True)
+    thread.start()
+    return server
+
+
+def stop_server(server) -> None:
+    server.shutdown()
+    server.server_close()
+    server.batcher.close()
+
+
+def main(argv=None):
+    from svpc_tpu.runtime import init_runtime
+    init_runtime()
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)-10s: %(message)s")
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--torch_checkpoint", action="store_true",
+                   help="--checkpoint is a reference PyTorch .chkpt file")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8700)
+    p.add_argument("--batch_videos", type=int, default=8,
+                   help="video slots per compiled decode batch (the "
+                        "dynamic-batching ceiling)")
+    p.add_argument("--max_clips", type=int, default=0,
+                   help="clip slots per video (default: max_n_sen)")
+    p.add_argument("--max_wait_ms", type=float, default=25.0,
+                   help="how long the first request of a batch waits for "
+                        "company before decoding")
+    p.add_argument("--request_timeout", type=float, default=60.0)
+    p.add_argument("--use_beam", action="store_true")
+    p.add_argument("--beam_size", type=int, default=2)
+    args = p.parse_args(argv)
+
+    cfg = config_from_args(args)
+    cfg, model, params = load_serving_model(cfg, args)
+    # multi-chip serving: request batches shard over dp, params over the
+    # tp rules (identical output — same layout as cli.evaluate's mesh)
+    mesh = None
+    if args.dp_size * args.tp_size > 1:
+        from svpc_tpu.parallel.mesh import make_mesh, shard_params
+        mesh = make_mesh(dp_size=args.dp_size, tp_size=args.tp_size)
+        params = dict(params)
+        params["params"] = shard_params(mesh, params["params"])
+    service = CaptionService(
+        cfg, model, params, batch_videos=args.batch_videos,
+        max_clips=args.max_clips or None,
+        beam_size=args.beam_size if args.use_beam else 0, mesh=mesh)
+    server = start_server(service, args.host, args.port,
+                          max_wait_ms=args.max_wait_ms,
+                          request_timeout=args.request_timeout)
+    host, port = server.server_address[:2]
+    logger.info("serving on http://%s:%d (POST /v1/captions)", host, port)
+    try:
+        threading.Event().wait()  # serve until interrupted
+    except KeyboardInterrupt:
+        logger.info("shutting down")
+    finally:
+        stop_server(server)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,409 @@
+"""Online serving: a compiled-once decode service + dynamic request batching.
+
+The reference has no serving story — its only inference surfaces are
+offline scripts over pre-annotated splits (src/translate.py, src/test.py,
+src/dump_memories.py), each of which loads the checkpoint, pads the whole
+split and exits.  A production deployment has the opposite shape: requests
+for ONE video arrive concurrently and must be answered at low latency
+without ever paying an XLA compile.
+
+TPU-first design:
+
+  * ``CaptionService`` pins ONE serving geometry — ``batch_videos`` video
+    slots x ``max_clips`` steps x ``max_v_len`` feature rows, with the
+    packed clip budget rounded to the pack multiple — and jit-compiles the
+    greedy (or beam) decoder for exactly that shape once at startup
+    (``warmup``).  Fixed shapes are what make this cheap on TPU: every
+    request batch re-enters the same XLA executable.
+  * ``DynamicBatcher`` coalesces concurrent requests into one device batch
+    (up to ``batch_videos`` videos or ``max_wait_ms``, whichever comes
+    first).  A lone request still decodes immediately — padded video slots
+    are masked (``clip_mask``/``step_mask``), so latency stays flat while
+    throughput scales with concurrency.
+  * Host work (tokenization, feature mmap fill) happens in the submitting
+    thread via ``CaptionService.make_entry``/``example_for``; the single
+    batcher thread only assembles batches and runs the device program.
+
+The HTTP front-end lives in cli/serve.py; this module is transport-free
+(threads + numpy + one jitted program) and fully testable offline.
+"""
+
+from __future__ import annotations
+
+import collections
+import logging
+import queue
+import threading
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from svpc_tpu import tokenization as tok
+from svpc_tpu.config import Config
+from svpc_tpu.data.pipeline import (CaptionDataset, Example, batch_examples,
+                                    inference_entries, pad_batch_to)
+from svpc_tpu.decode.postprocess import batch_to_sentences
+from svpc_tpu.precision import precision_scope
+
+logger = logging.getLogger(__name__)
+
+
+class ServingError(ValueError):
+    """Client-side request problem (maps to HTTP 400)."""
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return max(multiple, ((n + multiple - 1) // multiple) * multiple)
+
+
+def dummy_example(cfg: Config, num_steps: int,
+                  action_vocab_size: int) -> Example:
+    """A zero-filled Example with exactly the shapes CaptionDataset.
+    make_example produces at this geometry — used to warm the decode
+    program (and as the abstract-restore sample batch) without touching
+    any feature file.  One clip slot is marked real so the packer lays
+    out a row; its [CLS]/[SEP] mask mirrors a 0-frame clip."""
+    m = cfg.model
+    S, L = num_steps, m.max_v_len + m.max_t_len
+    arrays = dict(
+        input_ids=np.zeros((S, L), np.int32),
+        input_mask=np.zeros((S, L), np.float32),
+        input_labels=np.full((S, L), tok.IGNORE, np.int32),
+        token_type_ids=np.zeros((S, L), np.int32),
+        video_feature=np.zeros((S, m.max_v_len, m.video_feature_size),
+                               np.float32),
+        step_mask=np.zeros((S,), np.float32),
+        ingr_ids=np.zeros((m.max_i_len,), np.int32),
+        ingr_mask=np.zeros((m.max_i_len,), np.int32),
+        ingr_sep_mask=np.zeros((m.max_i_len,), np.int32),
+        entity_mask=np.zeros((m.max_entities,), np.float32),
+        copy_ids=np.zeros((m.max_entities, m.max_ingr_words), np.int32),
+        copy_weights=np.zeros((m.max_entities, m.max_ingr_words),
+                              np.float32),
+        oov_count=np.asarray(0, np.int32),
+        alignment=np.zeros((S, m.max_entities), np.float32),
+        action=np.zeros((S, action_vocab_size), np.float32),
+        action_row_mask=np.zeros((S,), np.float32),
+    )
+    arrays["step_mask"][0] = 1.0
+    arrays["input_ids"][0, 0] = tok.CLS
+    arrays["input_ids"][0, 1] = tok.SEP
+    arrays["input_mask"][0, :2] = 1.0
+    meta = dict(name="__warmup__", timestamps=[[0.0, 0.0]],
+                gt_sentences=[""], oov_word_dict={}, n_steps=1,
+                n_entities=0)
+    return Example(arrays=arrays, meta=meta)
+
+
+class CaptionService:
+    """Decode captions for user video specs with one fixed-shape program.
+
+    ``params`` are the eval parameters (EMA when trained with EMA).  The
+    service owns a CaptionDataset shell (vocab, duration CSV, feature
+    store) and a jitted decoder pinned to (batch_videos, max_clips,
+    max_v_len) with the worst-case packed clip budget.
+    """
+
+    def __init__(self, cfg: Config, model, params,
+                 batch_videos: int = 8,
+                 max_clips: Optional[int] = None,
+                 beam_size: int = 0,
+                 feature_store=None,
+                 mesh=None,
+                 warmup: bool = True):
+        import jax
+        from svpc_tpu.runtime import transient_retry
+        from svpc_tpu.train.loop import cast_transform, packing_builder
+
+        max_clips = max_clips or cfg.model.max_n_sen
+        if batch_videos < 1:
+            raise ValueError(f"batch_videos must be >= 1, got {batch_videos}")
+        # multi-chip serving: request batches shard over dp, params over
+        # the tp rules (same layout cli.evaluate's mesh-sharded eval uses)
+        self._mesh = mesh
+        dp = mesh.shape.get("dp", 1) if mesh is not None else 1
+        if batch_videos % dp:
+            raise ValueError(
+                f"batch_videos={batch_videos} must be a multiple of the "
+                f"dp mesh axis ({dp})")
+        cfg = cfg.replace_train(val_batch_size=batch_videos)
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+        self.batch_videos = batch_videos
+        self.beam_size = beam_size
+        self.ds = CaptionDataset(cfg, "infer", num_steps=max_clips,
+                                 entries=[], lazy_features=True,
+                                 feature_store=feature_store)
+        if self.ds.action_vocab_size != cfg.model.action_vocab_size:
+            raise ValueError(
+                f"verb vocab ({self.ds.action_vocab_size}) does not match "
+                f"model action_vocab_size ({cfg.model.action_vocab_size})")
+
+        # worst-case packed budget (per dp shard): every slot a full
+        # video — one program for every request mix
+        self._n_clips = _round_up((batch_videos // dp) * max_clips,
+                                  cfg.train.pack_clip_multiple)
+        self._builder = packing_builder(cfg, mesh, n_clips=self._n_clips,
+                                        v_len=cfg.model.max_v_len)
+        self._transform = cast_transform(cfg)
+
+        if beam_size and beam_size > 1:
+            from svpc_tpu.decode.beam import beam_decode
+            fn = jax.jit(lambda p, b: beam_decode(model, p, b,
+                                                  beam_size=beam_size))
+        else:
+            from svpc_tpu.decode.greedy import greedy_decode
+            fn = jax.jit(lambda p, b: greedy_decode(model, p, b))
+        self._decode = transient_retry(fn, what="serving decode")
+        # device work is serialized anyway (one program, one chip); the
+        # lock keeps direct multi-threaded decode_examples callers safe
+        self._lock = threading.Lock()
+        if warmup:
+            self.warmup()
+
+    @property
+    def max_clips(self) -> int:
+        return self.ds.num_steps
+
+    def warmup(self) -> None:
+        """Compile + run the decode program on a zero batch so the first
+        real request never pays the (20-40 s) XLA compile."""
+        t0 = time.perf_counter()
+        ex = dummy_example(self.cfg, self.max_clips,
+                           self.ds.action_vocab_size)
+        self.decode_examples([ex])
+        logger.info("serving decode program ready in %.1fs "
+                    "(B=%d videos x S=%d clips, packed budget %d)",
+                    time.perf_counter() - t0, self.batch_videos,
+                    self.max_clips, self._n_clips)
+
+    # ---------------------------------------------------------------- #
+    # request validation / host-side example building
+    # ---------------------------------------------------------------- #
+
+    def make_entry(self, video_id: str, spec: Dict) -> dict:
+        """Validate one request spec -> dataset entry.
+
+        Raises ServingError with a client-usable message on bad input
+        (unknown feature files, missing duration row, no timestamps)."""
+        if not isinstance(spec, dict) or "timestamps" not in spec:
+            raise ServingError(
+                "request must carry {'timestamps': [[start_s, end_s], ...],"
+                " 'ingredients': [...]}")
+        ts = spec["timestamps"]
+        if not ts:
+            raise ServingError(f"{video_id}: needs at least one timestamp")
+        if len(ts) > self.max_clips:
+            logger.warning("%s: %d clips truncated to serving max_clips=%d",
+                           video_id, len(ts), self.max_clips)
+        entry = inference_entries(
+            {video_id: dict(timestamps=ts,
+                            ingredients=list(spec.get("ingredients", [])),
+                            sentences=spec.get("sentences"))},
+            self.max_clips)[0]
+        vn = self.ds.video_name(video_id)
+        if not self.ds.store.exists(vn):
+            raise ServingError(
+                f"{video_id}: no feature files (<vid>_resnet.npy + "
+                f"<vid>_bn.npy) under {self.ds.store.feature_dir}")
+        if vn not in self.ds.frame_to_second:
+            raise ServingError(
+                f"{video_id}: no duration row in "
+                f"{self.cfg.data.duration_file}")
+        return entry
+
+    def example_for(self, entry: dict) -> Example:
+        return self.ds.make_example(entry)
+
+    # ---------------------------------------------------------------- #
+    # device batch decode
+    # ---------------------------------------------------------------- #
+
+    def decode_examples(self, examples: Sequence[Example]) -> List[List[str]]:
+        """Decode up to ``batch_videos`` examples -> per-example sentence
+        lists (one postprocessed sentence per real clip)."""
+        if len(examples) > self.batch_videos:
+            raise ValueError(
+                f"{len(examples)} examples > batch_videos={self.batch_videos}")
+        if self._builder is not None:
+            batch = self._builder(list(examples), self.batch_videos)
+        else:
+            batch = pad_batch_to(batch_examples(list(examples)),
+                                 self.batch_videos)
+        if self._transform is not None:
+            batch = self._transform(batch)
+        if self._mesh is not None:
+            from svpc_tpu.parallel.mesh import shard_batch
+            batch = shard_batch(self._mesh, batch)
+        with self._lock, precision_scope(self.cfg.model):
+            ids = self._decode(self.params, batch)
+        metas = [e.meta for e in examples]
+        return batch_to_sentences(np.asarray(ids), metas, self.ds.vocab)
+
+    def caption(self, specs: Dict[str, Dict]) -> Dict[str, List[dict]]:
+        """Synchronous convenience: decode a whole spec dict (chunked to
+        the serving batch size) -> {vid: [{timestamp, sentence}, ...]}."""
+        entries = [self.make_entry(vid, spec) for vid, spec in specs.items()]
+        out: Dict[str, List[dict]] = {}
+        for lo in range(0, len(entries), self.batch_videos):
+            chunk = entries[lo:lo + self.batch_videos]
+            examples = [self.example_for(e) for e in chunk]
+            for entry, sents in zip(chunk,
+                                    self.decode_examples(examples)):
+                out[entry["name"]] = [
+                    {"timestamp": entry["timestamps"][i], "sentence": s}
+                    for i, s in enumerate(sents)]
+        return out
+
+
+class _Pending:
+    __slots__ = ("example", "done", "result", "error", "t_submit")
+
+    def __init__(self, example: Example):
+        self.example = example
+        self.done = threading.Event()
+        self.result: Optional[List[str]] = None
+        self.error: Optional[BaseException] = None
+        self.t_submit = time.perf_counter()
+
+
+class ServingStats:
+    """Thread-safe serving counters + latency quantiles."""
+
+    def __init__(self, window: int = 1024):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.errors = 0
+        self.batches = 0
+        self.videos = 0
+        self.clips = 0
+        self._lat = collections.deque(maxlen=window)
+
+    def record_batch(self, n_videos: int, n_clips: int,
+                     latencies: Sequence[float]) -> None:
+        with self._lock:
+            self.batches += 1
+            self.videos += n_videos
+            self.clips += n_clips
+            self.requests += n_videos
+            self._lat.extend(latencies)
+
+    def record_error(self, n: int = 1) -> None:
+        with self._lock:
+            self.errors += n
+            self.requests += n
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._lat)
+            q = (lambda p: round(lat[min(len(lat) - 1,
+                                         int(p * len(lat)))] * 1e3, 2)
+                 if lat else None)
+            return {
+                "requests": self.requests,
+                "errors": self.errors,
+                "batches": self.batches,
+                "videos": self.videos,
+                "clips": self.clips,
+                "mean_batch_videos": (round(self.videos / self.batches, 2)
+                                      if self.batches else None),
+                "latency_ms": {"p50": q(0.50), "p90": q(0.90),
+                               "p99": q(0.99)},
+            }
+
+
+class DynamicBatcher:
+    """Coalesce concurrent caption requests into fixed-shape device batches.
+
+    One worker thread drains a queue: the first pending request opens a
+    batch, further requests join until ``batch_videos`` slots fill or
+    ``max_wait_ms`` passes, then the whole batch decodes in one device
+    call.  submit() blocks the calling thread until its result is ready.
+    """
+
+    def __init__(self, service: CaptionService, max_wait_ms: float = 25.0,
+                 max_batch: Optional[int] = None):
+        self.service = service
+        self.max_wait = max_wait_ms / 1e3
+        self.max_batch = min(max_batch or service.batch_videos,
+                             service.batch_videos)
+        self.stats = ServingStats()
+        self._q: queue.SimpleQueue = queue.SimpleQueue()
+        self._closed = threading.Event()
+        self._thread = threading.Thread(target=self._loop,
+                                        name="svpc-batcher", daemon=True)
+        self._thread.start()
+
+    def submit(self, entry: dict, timeout: Optional[float] = 60.0
+               ) -> List[str]:
+        """Build the example (in the caller's thread), queue it, wait for
+        the batched decode; returns the per-clip sentences."""
+        if self._closed.is_set():
+            raise RuntimeError("batcher is closed")
+        try:
+            p = _Pending(self.service.example_for(entry))
+        except Exception:
+            self.stats.record_error()
+            raise
+        self._q.put(p)
+        if not p.done.wait(timeout):
+            self.stats.record_error()
+            raise TimeoutError(
+                f"decode did not complete within {timeout}s")
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def close(self, timeout: float = 30.0) -> None:
+        if not self._closed.is_set():
+            self._closed.set()
+            self._q.put(None)  # wake the worker
+            self._thread.join(timeout)
+
+    def _collect(self) -> Optional[List[_Pending]]:
+        """Block for the first request, then fill the batch until the
+        wait window closes or the batch is full."""
+        first = self._q.get()
+        if first is None:
+            return None
+        items = [first]
+        deadline = time.perf_counter() + self.max_wait
+        while len(items) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            items.append(nxt)
+        return items
+
+    def _loop(self) -> None:
+        while True:
+            items = self._collect()
+            if items is None:
+                return
+            try:
+                sents = self.service.decode_examples(
+                    [p.example for p in items])
+                for p, s in zip(items, sents):
+                    p.result = s
+                self.stats.record_batch(
+                    len(items),
+                    sum(p.example.meta["n_steps"] for p in items),
+                    [time.perf_counter() - p.t_submit for p in items])
+            except Exception as e:  # surface to every waiter
+                logger.exception("batched decode failed")
+                for p in items:
+                    p.error = e
+                self.stats.record_error(len(items))
+            finally:
+                for p in items:
+                    p.done.set()
+            if self._closed.is_set() and self._q.empty():
+                return

@@ -1,0 +1,217 @@
+"""Serving subsystem (svpc_tpu/serving.py + cli/serve.py): the compiled-
+once decode service must reproduce the offline eval path exactly, the
+dynamic batcher must coalesce concurrent requests, and the HTTP daemon
+must answer the documented API.  (The reference has no online inference
+at all — SURVEY §2: every entry point is an offline split script.)"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from tests import reference_bridge as rb
+
+pytestmark = pytest.mark.skipif(
+    not rb.reference_available(), reason="reference repo not mounted")
+
+
+def _build_service(batch_videos=2, beam_size=0, warmup=True):
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.data.pipeline import batch_examples
+    from svpc_tpu.model import SVPCModel
+    from svpc_tpu.serving import CaptionService
+
+    names, feat_dir, dur_file = rb.setup_features(3)
+    cfg, ds = rb.build_ours("reason_copy", feat_dir, dur_file)
+    cfg = cfg.replace_train(val_batch_size=batch_videos)
+
+    model = SVPCModel(cfg.model)
+    batch = {k: jnp.asarray(v) for k, v in batch_examples([ds[0]]).items()}
+    rngs = {"params": jax.random.PRNGKey(7),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    params = model.init(rngs, batch, deterministic=True)
+    service = CaptionService(cfg, model, params,
+                             batch_videos=batch_videos,
+                             beam_size=beam_size, warmup=warmup)
+    return service, cfg, ds, model, params
+
+
+@pytest.fixture(scope="module")
+def served():
+    """One compiled 2-slot service shared by the read-only tests."""
+    return _build_service(batch_videos=2)
+
+
+def _specs(ds):
+    return {e["name"]: {"timestamps": e["timestamps"],
+                        "ingredients": e["ingredients"]}
+            for e in ds.data}
+
+
+def test_service_matches_offline_eval(served):
+    """caption() over user specs == run_greedy_eval over the annotated
+    dataset, sentence for sentence (decode never reads GT text)."""
+    from svpc_tpu.train.loop import run_greedy_eval
+
+    service, cfg, ds, model, params = served
+    sub = run_greedy_eval(model, params, ds, cfg)
+
+    got = service.caption(_specs(ds))
+    assert set(got) == set(sub["results"])
+    for vid, clips in sub["results"].items():
+        assert [c["sentence"] for c in got[vid]] == \
+            [c["sentence"] for c in clips]
+        assert [c["timestamp"] for c in got[vid]] == \
+            [c["timestamp"] for c in clips]
+
+
+def test_warmup_and_request_batches_share_one_program_shape(served):
+    """The zero-filled warmup batch must have exactly the shapes/dtypes of
+    a real request batch — the 'no compile on first request' guarantee."""
+    from svpc_tpu.serving import dummy_example
+
+    service, cfg, ds, _, _ = served
+    dummy = dummy_example(cfg, service.max_clips, ds.action_vocab_size)
+    entry = service.make_entry(ds.data[0]["name"], {
+        "timestamps": ds.data[0]["timestamps"],
+        "ingredients": ds.data[0]["ingredients"]})
+    real = service.example_for(entry)
+
+    warm = service._builder([dummy], service.batch_videos)
+    req = service._builder([real], service.batch_videos)
+    assert set(warm) == set(req)
+    for k in warm:
+        assert warm[k].shape == req[k].shape, k
+        assert warm[k].dtype == req[k].dtype, k
+
+
+def test_make_entry_validation():
+    from svpc_tpu.serving import ServingError
+
+    # request validation never touches the device: no warmup/compile
+    service, cfg, ds, _, _ = _build_service(batch_videos=1, warmup=False)
+    with pytest.raises(ServingError, match="timestamp"):
+        service.make_entry("vid", {"ingredients": []})
+    with pytest.raises(ServingError, match="at least one"):
+        service.make_entry("vid", {"timestamps": [], "ingredients": []})
+    with pytest.raises(ServingError, match="no feature files"):
+        service.make_entry("no_such_video",
+                           {"timestamps": [[0.0, 1.0]], "ingredients": []})
+    # valid spec without ingredients key is accepted (video-only requests)
+    entry = service.make_entry(ds.data[0]["name"],
+                               {"timestamps": [[0.0, 1.0]]})
+    assert entry["ingredients"] == []
+
+
+def test_dynamic_batcher_coalesces_and_matches(served):
+    """Concurrent submits land in one device batch (up to batch_videos)
+    and return the same sentences as the synchronous path."""
+    from svpc_tpu.serving import DynamicBatcher
+
+    service, cfg, ds, _, _ = served
+    specs = _specs(ds)  # 3 videos > batch_videos=2 -> 2 batches minimum
+    expected = service.caption(specs)
+
+    batcher = DynamicBatcher(service, max_wait_ms=1000.0)
+    results = {}
+    errors = []
+    barrier = threading.Barrier(len(specs))
+
+    def worker(vid, spec):
+        try:
+            barrier.wait(timeout=10)
+            entry = service.make_entry(vid, spec)
+            results[vid] = batcher.submit(entry, timeout=120.0)
+        except Exception as e:  # surface in the main thread
+            errors.append((vid, e))
+
+    threads = [threading.Thread(target=worker, args=(v, s))
+               for v, s in specs.items()]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    batcher.close()
+
+    assert not errors, errors
+    for vid, sents in results.items():
+        assert sents == [c["sentence"] for c in expected[vid]]
+    snap = batcher.stats.snapshot()
+    assert snap["requests"] == len(specs)
+    assert snap["batches"] == 2  # 3 requests coalesced into 2-slot batches
+    assert snap["latency_ms"]["p50"] is not None
+
+
+def test_mesh_sharded_serving_identical(served):
+    """dp=2-sharded serving emits byte-identical sentences (request
+    batches shard over the mesh, same layout as cli.evaluate's)."""
+    import jax
+    from svpc_tpu.parallel.mesh import make_mesh, shard_params
+    from svpc_tpu.serving import CaptionService
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    service, cfg, ds, model, params = served
+    expected = service.caption(_specs(ds))
+
+    mesh = make_mesh(dp_size=2)
+    sharded = dict(params)
+    sharded["params"] = shard_params(mesh, sharded["params"])
+    meshed = CaptionService(cfg, model, sharded, batch_videos=2,
+                            mesh=mesh, warmup=False)
+    got = meshed.caption(_specs(ds))
+    for vid, clips in expected.items():
+        assert [c["sentence"] for c in got[vid]] == \
+            [c["sentence"] for c in clips]
+
+
+def test_http_server_end_to_end(served):
+    """POST /v1/captions answers with the offline sentences; healthz and
+    stats respond; bad requests get 400s."""
+    from svpc_tpu.cli.serve import start_server, stop_server
+
+    service, cfg, ds, _, _ = served
+    specs = _specs(ds)
+    expected = service.caption(specs)
+
+    server = start_server(service, port=0, max_wait_ms=10.0)
+    host, port = server.server_address[:2]
+    base = f"http://{host}:{port}"
+    try:
+        health = json.load(urllib.request.urlopen(f"{base}/healthz",
+                                                  timeout=30))
+        assert health["status"] == "ok"
+        assert health["batch_videos"] == 2
+        assert health["decoder"] == "greedy"
+
+        for vid, spec in specs.items():
+            req = urllib.request.Request(
+                f"{base}/v1/captions",
+                data=json.dumps(dict(spec, video_id=vid)).encode(),
+                headers={"Content-Type": "application/json"})
+            resp = json.load(urllib.request.urlopen(req, timeout=120))
+            assert resp["video_id"] == vid
+            assert [c["sentence"] for c in resp["captions"]] == \
+                [c["sentence"] for c in expected[vid]]
+
+        stats = json.load(urllib.request.urlopen(f"{base}/v1/stats",
+                                                 timeout=30))
+        assert stats["requests"] == len(specs)
+
+        # bad requests: no video_id / unknown video -> 400 with a message
+        for payload in ({"timestamps": [[0, 1]]},
+                        {"video_id": "nope", "timestamps": [[0, 1]],
+                         "ingredients": []}):
+            req = urllib.request.Request(
+                f"{base}/v1/captions", data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 400
+            assert "error" in json.load(ei.value)
+    finally:
+        stop_server(server)
