@@ -173,6 +173,12 @@ def main(argv=None):
     p.add_argument("--max_wait_ms", type=float, default=25.0,
                    help="how long the first request of a batch waits for "
                         "company before decoding")
+    p.add_argument("--clip_buckets", default="",
+                   help="comma-separated packed clip budgets below the "
+                        "worst case (e.g. 16,32): light batches ride a "
+                        "smaller compiled shape, cutting the per-request "
+                        "feature transfer; each bucket is one XLA "
+                        "program compiled at warmup")
     p.add_argument("--request_timeout", type=float, default=60.0)
     p.add_argument("--use_beam", action="store_true")
     p.add_argument("--beam_size", type=int, default=2)
@@ -188,10 +194,13 @@ def main(argv=None):
         mesh = make_mesh(dp_size=args.dp_size, tp_size=args.tp_size)
         params = dict(params)
         params["params"] = shard_params(mesh, params["params"])
+    buckets = ([int(b) for b in args.clip_buckets.split(",")]
+               if args.clip_buckets else None)
     service = CaptionService(
         cfg, model, params, batch_videos=args.batch_videos,
         max_clips=args.max_clips or None,
-        beam_size=args.beam_size if args.use_beam else 0, mesh=mesh)
+        beam_size=args.beam_size if args.use_beam else 0, mesh=mesh,
+        clip_buckets=buckets)
     server = start_server(service, args.host, args.port,
                           max_wait_ms=args.max_wait_ms,
                           request_timeout=args.request_timeout)

@@ -111,6 +111,7 @@ class CaptionService:
                  beam_size: int = 0,
                  feature_store=None,
                  mesh=None,
+                 clip_buckets: Optional[Sequence[int]] = None,
                  warmup: bool = True):
         import jax
         from svpc_tpu.runtime import transient_retry
@@ -141,12 +142,25 @@ class CaptionService:
                 f"verb vocab ({self.ds.action_vocab_size}) does not match "
                 f"model action_vocab_size ({cfg.model.action_vocab_size})")
 
-        # worst-case packed budget (per dp shard): every slot a full
-        # video — one program for every request mix
-        self._n_clips = _round_up((batch_videos // dp) * max_clips,
-                                  cfg.train.pack_clip_multiple)
-        self._builder = packing_builder(cfg, mesh, n_clips=self._n_clips,
-                                        v_len=cfg.model.max_v_len)
+        # packed clip budgets (per dp shard).  The worst case — every slot
+        # a full video — is always covered; optional smaller ``clip_buckets``
+        # let light batches (e.g. a lone request) ride a smaller compiled
+        # shape, cutting the host->device feature transfer proportionally
+        # (the dominant single-request cost on transfer-bound hosts).
+        # Each bucket is one XLA program, all compiled at warmup.
+        mult = cfg.train.pack_clip_multiple
+        budget = _round_up((batch_videos // dp) * max_clips, mult)
+        buckets = sorted({_round_up(int(b), mult)
+                          for b in (clip_buckets or [])
+                          if 0 < int(b) < budget} | {budget})
+        self._buckets = buckets
+        self._n_clips = budget
+        builders = {n: packing_builder(cfg, mesh, n_clips=n,
+                                       v_len=cfg.model.max_v_len)
+                    for n in buckets}
+        self._builders = (None if builders[budget] is None  # packing off
+                          else builders)
+        self._dp = dp
         self._transform = cast_transform(cfg)
 
         if beam_size and beam_size > 1:
@@ -168,16 +182,22 @@ class CaptionService:
         return self.ds.num_steps
 
     def warmup(self) -> None:
-        """Compile + run the decode program on a zero batch so the first
-        real request never pays the (20-40 s) XLA compile."""
+        """Compile + run every decode program (one per clip bucket) on a
+        zero batch so no real request ever pays the (20-40 s) XLA
+        compile."""
         t0 = time.perf_counter()
         ex = dummy_example(self.cfg, self.max_clips,
                            self.ds.action_vocab_size)
-        self.decode_examples([ex])
-        logger.info("serving decode program ready in %.1fs "
-                    "(B=%d videos x S=%d clips, packed budget %d)",
+        if self._builders is None:
+            self.decode_examples([ex])
+        else:
+            for n in self._buckets:
+                self._decode_batch(self._builders[n]([ex],
+                                                     self.batch_videos))
+        logger.info("serving decode program(s) ready in %.1fs "
+                    "(B=%d videos x S=%d clips, packed bucket(s) %s)",
                     time.perf_counter() - t0, self.batch_videos,
-                    self.max_clips, self._n_clips)
+                    self.max_clips, self._buckets)
 
     # ---------------------------------------------------------------- #
     # request validation / host-side example building
@@ -221,26 +241,43 @@ class CaptionService:
     # device batch decode
     # ---------------------------------------------------------------- #
 
-    def decode_examples(self, examples: Sequence[Example]) -> List[List[str]]:
-        """Decode up to ``batch_videos`` examples -> per-example sentence
-        lists (one postprocessed sentence per real clip)."""
-        if len(examples) > self.batch_videos:
-            raise ValueError(
-                f"{len(examples)} examples > batch_videos={self.batch_videos}")
-        if self._builder is not None:
-            batch = self._builder(list(examples), self.batch_videos)
-        else:
-            batch = pad_batch_to(batch_examples(list(examples)),
-                                 self.batch_videos)
+    def _pick_builder(self, examples: Sequence[Example]):
+        """Smallest clip bucket covering the batch's max per-shard real
+        clip count (shard assignment mirrors pack_examples: example b ->
+        shard b // (batch_videos/dp))."""
+        if len(self._buckets) == 1:
+            return self._builders[self._buckets[-1]]
+        Bs = self.batch_videos // self._dp
+        steps = [int(e.arrays["step_mask"].sum()) for e in examples]
+        shard_max = max(sum(steps[g * Bs:(g + 1) * Bs])
+                        for g in range(self._dp))
+        n = next(b for b in self._buckets if shard_max <= b)
+        return self._builders[n]
+
+    def _decode_batch(self, batch) -> np.ndarray:
         if self._transform is not None:
             batch = self._transform(batch)
         if self._mesh is not None:
             from svpc_tpu.parallel.mesh import shard_batch
             batch = shard_batch(self._mesh, batch)
         with self._lock, precision_scope(self.cfg.model):
-            ids = self._decode(self.params, batch)
+            return np.asarray(self._decode(self.params, batch))
+
+    def decode_examples(self, examples: Sequence[Example]) -> List[List[str]]:
+        """Decode up to ``batch_videos`` examples -> per-example sentence
+        lists (one postprocessed sentence per real clip)."""
+        if len(examples) > self.batch_videos:
+            raise ValueError(
+                f"{len(examples)} examples > batch_videos={self.batch_videos}")
+        if self._builders is not None:
+            batch = self._pick_builder(examples)(list(examples),
+                                                 self.batch_videos)
+        else:
+            batch = pad_batch_to(batch_examples(list(examples)),
+                                 self.batch_videos)
+        ids = self._decode_batch(batch)
         metas = [e.meta for e in examples]
-        return batch_to_sentences(np.asarray(ids), metas, self.ds.vocab)
+        return batch_to_sentences(ids, metas, self.ds.vocab)
 
     def caption(self, specs: Dict[str, Dict]) -> Dict[str, List[dict]]:
         """Synchronous convenience: decode a whole spec dict (chunked to

@@ -81,8 +81,9 @@ def test_warmup_and_request_batches_share_one_program_shape(served):
         "ingredients": ds.data[0]["ingredients"]})
     real = service.example_for(entry)
 
-    warm = service._builder([dummy], service.batch_videos)
-    req = service._builder([real], service.batch_videos)
+    builder = service._builders[service._buckets[-1]]
+    warm = builder([dummy], service.batch_videos)
+    req = builder([real], service.batch_videos)
     assert set(warm) == set(req)
     for k in warm:
         assert warm[k].shape == req[k].shape, k
@@ -144,6 +145,35 @@ def test_dynamic_batcher_coalesces_and_matches(served):
     assert snap["requests"] == len(specs)
     assert snap["batches"] == 2  # 3 requests coalesced into 2-slot batches
     assert snap["latency_ms"]["p50"] is not None
+
+
+def test_clip_buckets_identical_and_picked(served):
+    """Smaller clip buckets: light batches ride a smaller compiled shape
+    with byte-identical sentences; the picker chooses the smallest
+    covering bucket."""
+    from svpc_tpu.serving import CaptionService
+
+    service, cfg, ds, model, params = served
+    expected = service.caption(_specs(ds))
+
+    bucketed = CaptionService(cfg, model, params, batch_videos=2,
+                              clip_buckets=[16], warmup=False)
+    assert bucketed._buckets == [16, 32]  # worst case always covered
+    one = bucketed.example_for(bucketed.make_entry(
+        ds.data[0]["name"], _specs(ds)[ds.data[0]["name"]]))
+    light = bucketed._pick_builder([one])([one], 2)
+    assert light["clip_mask"].shape[0] == 16  # small bucket chosen
+    full_batch = [bucketed.example_for(bucketed.make_entry(n, s))
+                  for n, s in list(_specs(ds).items())[:2]]
+    # force the big bucket only when the small one cannot cover the batch
+    steps = sum(int(e.arrays["step_mask"].sum()) for e in full_batch)
+    picked = bucketed._pick_builder(full_batch)(full_batch, 2)
+    assert picked["clip_mask"].shape[0] == (16 if steps <= 16 else 32)
+
+    got = bucketed.caption(_specs(ds))
+    for vid, clips in expected.items():
+        assert [c["sentence"] for c in got[vid]] == \
+            [c["sentence"] for c in clips]
 
 
 def test_mesh_sharded_serving_identical(served):

@@ -66,9 +66,12 @@ def build_service(args, feat_dir, dur_file):
     abstract = jax.eval_shape(
         lambda: model.init(rngs, jbatch, deterministic=True))
     params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), abstract)
+    buckets = ([int(b) for b in args.clip_buckets.split(",")]
+               if args.clip_buckets else None)
     t0 = time.perf_counter()
     service = CaptionService(cfg, model, params,
-                             batch_videos=args.batch_videos, warmup=True)
+                             batch_videos=args.batch_videos,
+                             clip_buckets=buckets, warmup=True)
     return cfg, service, time.perf_counter() - t0
 
 
@@ -147,6 +150,9 @@ def main():
     p.add_argument("--requests", type=int, default=64)
     p.add_argument("--concurrency", default="1,8,32")
     p.add_argument("--max_wait_ms", type=float, default=10.0)
+    p.add_argument("--clip_buckets", default="",
+                   help="comma-separated smaller packed budgets "
+                        "(cli.serve --clip_buckets)")
     p.add_argument("--model_mode", default="full")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--workdir", default="",
@@ -166,7 +172,8 @@ def main():
     report = {
         "config": {"batch_videos": args.batch_videos,
                    "model_mode": args.model_mode, "dtype": args.dtype,
-                   "videos": len(specs), "max_wait_ms": args.max_wait_ms},
+                   "videos": len(specs), "max_wait_ms": args.max_wait_ms,
+                   "clip_buckets": service._buckets},
         "startup_s": round(startup_s, 1),
         "runs": [],
     }
