@@ -94,28 +94,45 @@ class CaptionHandler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):
+        srv = self.server
+        # always drain the body first: an early error reply would leave
+        # the unread bytes to be parsed as the next request on this
+        # HTTP/1.1 keep-alive connection
+        try:
+            length = int(self.headers.get("Content-Length", 0) or 0)
+        except ValueError:
+            self.close_connection = True
+            srv.batcher.stats.record_error()
+            self._reply(400, {"error": "bad Content-Length header"})
+            return
+        body = self.rfile.read(length)
         if self.path != "/v1/captions":
             self._reply(404, {"error": f"unknown path {self.path}"})
             return
-        srv = self.server
         try:
-            length = int(self.headers.get("Content-Length", 0))
-            req = json.loads(self.rfile.read(length) or b"{}")
+            req = json.loads(body or b"{}")
             video_id = req.get("video_id")
             if not video_id:
                 raise ServingError("request needs a 'video_id'")
             entry = srv.service.make_entry(video_id, req)
             sentences = srv.batcher.submit(entry,
                                            timeout=srv.request_timeout)
-            self._reply(200, {
+            resp = {
                 "video_id": video_id,
                 "captions": [{"timestamp": entry["timestamps"][i],
                               "sentence": s}
                              for i, s in enumerate(sentences)],
-            })
+            }
+            n_asked = len(req.get("timestamps") or [])
+            if n_asked > len(entry["timestamps"]):
+                # client-visible: clips beyond the serving geometry were
+                # dropped, not silently mislaid
+                resp["truncated_clips"] = n_asked - len(entry["timestamps"])
+            self._reply(200, resp)
         except (ServingError, ValueError, json.JSONDecodeError) as e:
+            srv.batcher.stats.record_error()
             self._reply(400, {"error": str(e)})
-        except TimeoutError as e:
+        except TimeoutError as e:  # submit() already recorded it
             self._reply(503, {"error": str(e)})
         except Exception as e:  # keep the daemon alive
             logger.exception("request failed")

@@ -42,9 +42,21 @@ _CLIP_KEYS = ("input_ids", "input_mask", "input_labels", "token_type_ids",
               "video_feature")
 
 
-def _round_up(n: int, multiple: int, cap: Optional[int] = None) -> int:
+def round_up(n: int, multiple: int, cap: Optional[int] = None) -> int:
     r = max(multiple, ((n + multiple - 1) // multiple) * multiple)
     return min(r, cap) if cap is not None else r
+
+
+_round_up = round_up  # internal alias
+
+
+def shard_clip_counts(steps, batch_size: int, dp_shards: int):
+    """Real clips per dp shard for a batch of per-example step counts —
+    THE shard-assignment formula (example b -> shard b // (B/dp)); used
+    by pack_examples' budget check and by serving's bucket picker so the
+    two can never drift."""
+    Bs = batch_size // dp_shards
+    return [sum(steps[g * Bs:(g + 1) * Bs]) for g in range(dp_shards)]
 
 
 def pack_batch(batch: Batch, max_t_len: int,
@@ -155,8 +167,8 @@ def pack_examples(examples, max_t_len: int, batch_size: Optional[int] = None,
     Lv = L - max_t_len
 
     steps = [int(e.arrays["step_mask"].sum()) for e in examples]
-    n_max = max(sum(steps[g * Bs:(g + 1) * Bs]) or 0
-                for g in range(dp_shards)) if examples else 0
+    n_max = (max(shard_clip_counts(steps, B, dp_shards))
+             if examples else 0)
     N = n_clips or _round_up(n_max, clip_multiple)
     if n_max > N:
         raise ValueError(f"shard has {n_max} real clips > n_clips={N}")

@@ -49,12 +49,12 @@ from svpc_tpu.precision import precision_scope
 logger = logging.getLogger(__name__)
 
 
+from svpc_tpu.data.packing import round_up as _round_up
+from svpc_tpu.data.packing import shard_clip_counts
+
+
 class ServingError(ValueError):
     """Client-side request problem (maps to HTTP 400)."""
-
-
-def _round_up(n: int, multiple: int) -> int:
-    return max(multiple, ((n + multiple - 1) // multiple) * multiple)
 
 
 def dummy_example(cfg: Config, num_steps: int,
@@ -243,14 +243,13 @@ class CaptionService:
 
     def _pick_builder(self, examples: Sequence[Example]):
         """Smallest clip bucket covering the batch's max per-shard real
-        clip count (shard assignment mirrors pack_examples: example b ->
-        shard b // (batch_videos/dp))."""
+        clip count (same shard-assignment formula as pack_examples —
+        packing.shard_clip_counts)."""
         if len(self._buckets) == 1:
             return self._builders[self._buckets[-1]]
-        Bs = self.batch_videos // self._dp
         steps = [int(e.arrays["step_mask"].sum()) for e in examples]
-        shard_max = max(sum(steps[g * Bs:(g + 1) * Bs])
-                        for g in range(self._dp))
+        shard_max = max(shard_clip_counts(steps, self.batch_videos,
+                                          self._dp))
         n = next(b for b in self._buckets if shard_max <= b)
         return self._builders[n]
 
@@ -296,7 +295,8 @@ class CaptionService:
 
 
 class _Pending:
-    __slots__ = ("example", "done", "result", "error", "t_submit")
+    __slots__ = ("example", "done", "result", "error", "t_submit",
+                 "abandoned")
 
     def __init__(self, example: Example):
         self.example = example
@@ -304,6 +304,9 @@ class _Pending:
         self.result: Optional[List[str]] = None
         self.error: Optional[BaseException] = None
         self.t_submit = time.perf_counter()
+        # set when the submitter gave up (timeout / closed batcher): the
+        # worker drops it instead of wasting a batch slot on it
+        self.abandoned = False
 
 
 class ServingStats:
@@ -379,13 +382,22 @@ class DynamicBatcher:
         the batched decode; returns the per-clip sentences."""
         if self._closed.is_set():
             raise RuntimeError("batcher is closed")
-        try:
-            p = _Pending(self.service.example_for(entry))
-        except Exception:
-            self.stats.record_error()
-            raise
+        # example-build failures propagate uncounted: the transport layer
+        # owns client-error accounting (cli/serve.py records every 4xx),
+        # so a bad request is never double-counted
+        p = _Pending(self.service.example_for(entry))
         self._q.put(p)
+        if self._closed.is_set() and not p.done.is_set():
+            # closed concurrently with the put: the worker may already
+            # have exited on the sentinel, so fail fast instead of
+            # blocking the full timeout on a queue nobody drains
+            p.abandoned = True
+            self.stats.record_error()
+            raise RuntimeError("batcher is closed")
         if not p.done.wait(timeout):
+            # the worker skips abandoned pendings (no wasted batch slot,
+            # no double count in the stats)
+            p.abandoned = True
             self.stats.record_error()
             raise TimeoutError(
                 f"decode did not complete within {timeout}s")
@@ -425,6 +437,11 @@ class DynamicBatcher:
             items = self._collect()
             if items is None:
                 return
+            items = [p for p in items if not p.abandoned]
+            if not items:
+                if self._closed.is_set() and self._q.empty():
+                    return
+                continue
             try:
                 sents = self.service.decode_examples(
                     [p.example for p in items])

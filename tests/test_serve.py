@@ -232,6 +232,19 @@ def test_http_server_end_to_end(served):
                                                  timeout=30))
         assert stats["requests"] == len(specs)
 
+        # clips beyond the serving geometry are dropped VISIBLY
+        vid = next(iter(specs))
+        ts = (specs[vid]["timestamps"] * 4)[:service.max_clips + 2]
+        req = urllib.request.Request(
+            f"{base}/v1/captions",
+            data=json.dumps({"video_id": vid, "timestamps": ts,
+                             "ingredients": specs[vid]["ingredients"]}
+                            ).encode(),
+            headers={"Content-Type": "application/json"})
+        resp = json.load(urllib.request.urlopen(req, timeout=120))
+        assert resp["truncated_clips"] == 2
+        assert len(resp["captions"]) == service.max_clips
+
         # bad requests: no video_id / unknown video -> 400 with a message
         for payload in ({"timestamps": [[0, 1]]},
                         {"video_id": "nope", "timestamps": [[0, 1]],
@@ -243,5 +256,9 @@ def test_http_server_end_to_end(served):
                 urllib.request.urlopen(req, timeout=30)
             assert ei.value.code == 400
             assert "error" in json.load(ei.value)
+        # client errors are visible to monitoring (stats endpoint)
+        stats = json.load(urllib.request.urlopen(f"{base}/v1/stats",
+                                                 timeout=30))
+        assert stats["errors"] == 2
     finally:
         stop_server(server)

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import math
 import os
 import sys
 import tempfile
@@ -100,14 +99,12 @@ def run_concurrency(service, specs, concurrency, total_requests,
     batcher = DynamicBatcher(service, max_wait_ms=max_wait_ms)
     names = list(specs)
     entries = [service.make_entry(n, specs[n]) for n in names]
-    n_clips = sum(len(e["timestamps"]) for e in entries)
     errors = []
-    done = threading.Event()
     counter = {"i": 0}
     lock = threading.Lock()
 
     def worker():
-        while True:
+        while not errors:  # stop all workers on the first failure
             with lock:
                 i = counter["i"]
                 if i >= total_requests:
@@ -117,7 +114,6 @@ def run_concurrency(service, specs, concurrency, total_requests,
                 batcher.submit(entries[i % len(entries)], timeout=300.0)
             except Exception as e:
                 errors.append(e)
-                done.set()
                 return
 
     threads = [threading.Thread(target=worker) for _ in range(concurrency)]
