@@ -197,6 +197,10 @@ def main(argv=None):
                         "feature transfer; each bucket is one XLA "
                         "program compiled at warmup")
     p.add_argument("--request_timeout", type=float, default=60.0)
+    p.add_argument("--upload_dir", default="",
+                   help="enable inline feature upload: requests may carry "
+                        "base64 .npy 'features' (+ duration/n_frames) "
+                        "spooled into this directory")
     p.add_argument("--use_beam", action="store_true")
     p.add_argument("--beam_size", type=int, default=2)
     args = p.parse_args(argv)
@@ -217,7 +221,7 @@ def main(argv=None):
         cfg, model, params, batch_videos=args.batch_videos,
         max_clips=args.max_clips or None,
         beam_size=args.beam_size if args.use_beam else 0, mesh=mesh,
-        clip_buckets=buckets)
+        clip_buckets=buckets, upload_dir=args.upload_dir or None)
     server = start_server(service, args.host, args.port,
                           max_wait_ms=args.max_wait_ms,
                           request_timeout=args.request_timeout)

@@ -58,28 +58,36 @@ def load_annotations(data_dir: str, split: str, max_n_sen: int) -> List[dict]:
     return data
 
 
+def duration_to_frm2sec(vid_dur: float, vid_frame: float,
+                        dset_name: str = "yc2",
+                        sampling_sec: float = 0.5) -> float:
+    """One duration-CSV row -> seconds per feature frame.
+
+    Matches the reference's math exactly
+    (recursive_caption_dataset.py:126-131):
+      yc2:  dur * ceil(frames / dur * 0.5) / frames
+      anet: dur * int(frames / int(dur) * 0.5) / frames
+    """
+    if dset_name == "yc2":
+        return float(vid_dur) * math.ceil(
+            float(vid_frame) * 1. / float(vid_dur) * sampling_sec
+        ) * 1. / float(vid_frame)
+    if dset_name == "anet":
+        return float(vid_dur) * int(
+            float(vid_frame) * 1. / int(float(vid_dur)) * sampling_sec
+        ) * 1. / float(vid_frame)
+    raise NotImplementedError(f"unsupported dataset {dset_name}")
+
+
 def load_durations(duration_file: str, dset_name: str = "yc2",
                    sampling_sec: float = 0.5) -> Dict[str, float]:
-    """duration CSV -> seconds-per-feature-frame map.
-
-    Matches the reference's yc2 math exactly
-    (recursive_caption_dataset.py:126-131):
-      frame_to_second[vid] = dur * ceil(frames / dur * 0.5) / frames
-    """
+    """duration CSV -> seconds-per-feature-frame map."""
     frame_to_second = {}
     with open(duration_file) as f:
         for line in f:
             vid_name, vid_dur, vid_frame = [l.strip() for l in line.split(",")]
-            if dset_name == "yc2":
-                frame_to_second[vid_name] = float(vid_dur) * math.ceil(
-                    float(vid_frame) * 1. / float(vid_dur) * sampling_sec
-                ) * 1. / float(vid_frame)
-            elif dset_name == "anet":
-                frame_to_second[vid_name] = float(vid_dur) * int(
-                    float(vid_frame) * 1. / int(float(vid_dur)) * sampling_sec
-                ) * 1. / float(vid_frame)
-            else:
-                raise NotImplementedError(f"unsupported dataset {dset_name}")
+            frame_to_second[vid_name] = duration_to_frm2sec(
+                vid_dur, vid_frame, dset_name, sampling_sec)
     if dset_name == "anet":
         frame_to_second["_0CqozZun3U"] = sampling_sec
     return frame_to_second

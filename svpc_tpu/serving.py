@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import collections
 import logging
+import os
 import queue
 import threading
 import time
@@ -43,14 +44,12 @@ from svpc_tpu import tokenization as tok
 from svpc_tpu.config import Config
 from svpc_tpu.data.pipeline import (CaptionDataset, Example, batch_examples,
                                     inference_entries, pad_batch_to)
+from svpc_tpu.data.packing import round_up as _round_up
+from svpc_tpu.data.packing import shard_clip_counts
 from svpc_tpu.decode.postprocess import batch_to_sentences
 from svpc_tpu.precision import precision_scope
 
 logger = logging.getLogger(__name__)
-
-
-from svpc_tpu.data.packing import round_up as _round_up
-from svpc_tpu.data.packing import shard_clip_counts
 
 
 class ServingError(ValueError):
@@ -112,6 +111,7 @@ class CaptionService:
                  feature_store=None,
                  mesh=None,
                  clip_buckets: Optional[Sequence[int]] = None,
+                 upload_dir: Optional[str] = None,
                  warmup: bool = True):
         import jax
         from svpc_tpu.runtime import transient_retry
@@ -141,6 +141,19 @@ class CaptionService:
             raise ValueError(
                 f"verb vocab ({self.ds.action_vocab_size}) does not match "
                 f"model action_vocab_size ({cfg.model.action_vocab_size})")
+
+        # optional feature-upload spool: requests may carry the feature
+        # arrays themselves (plus duration/n_frames for the frm2sec math)
+        # instead of relying on files pre-staged under video_feature_dir
+        self._upload_dir = upload_dir
+        self.up_ds: Optional[CaptionDataset] = None
+        if upload_dir:
+            from svpc_tpu.data.features import FeatureStore
+            os.makedirs(upload_dir, exist_ok=True)
+            self.up_ds = CaptionDataset(
+                cfg, "infer", num_steps=max_clips, entries=[],
+                lazy_features=True, feature_store=FeatureStore(upload_dir))
+            self.up_ds.frame_to_second = {}  # rows arrive per upload
 
         # packed clip budgets (per dp shard).  The worst case — every slot
         # a full video — is always covered; optional smaller ``clip_buckets``
@@ -203,11 +216,81 @@ class CaptionService:
     # request validation / host-side example building
     # ---------------------------------------------------------------- #
 
+    def put_features(self, video_id: str, features: Dict,
+                     duration, n_frames) -> None:
+        """Spool uploaded feature arrays (base64 .npy payloads) and the
+        video's frm2sec row so subsequent requests can decode it."""
+        import base64
+        import io
+
+        from svpc_tpu.data.anet import duration_to_frm2sec
+        if self.up_ds is None:
+            raise ServingError(
+                "feature upload is disabled — start the daemon with "
+                "--upload_dir")
+        if not isinstance(features, dict) or \
+                not {"resnet", "bn"} <= set(features):
+            raise ServingError(
+                "'features' must carry base64 .npy payloads under "
+                "'resnet' and 'bn'")
+        try:
+            duration, n_frames = float(duration), float(n_frames)
+        except (TypeError, ValueError):
+            raise ServingError(
+                "feature upload needs numeric 'duration' (seconds) and "
+                "'n_frames' (the duration-CSV row for the frm2sec math)")
+        if duration <= 0 or n_frames <= 0:
+            raise ServingError("'duration' and 'n_frames' must be > 0")
+        arrays = {}
+        for kind in ("resnet", "bn"):
+            try:
+                arrays[kind] = np.load(
+                    io.BytesIO(base64.b64decode(features[kind])),
+                    allow_pickle=False)
+            except Exception as e:
+                raise ServingError(
+                    f"features.{kind}: not a valid base64 .npy payload "
+                    f"({e})")
+        r, b = arrays["resnet"], arrays["bn"]
+        want = self.cfg.model.video_feature_size
+        if r.ndim != 2 or b.ndim != 2 or r.shape[0] != b.shape[0]:
+            raise ServingError(
+                f"feature arrays must be 2-D with equal rows; got "
+                f"resnet{tuple(r.shape)} bn{tuple(b.shape)}")
+        if r.shape[1] + b.shape[1] != want:
+            raise ServingError(
+                f"resnet+bn feature dims {r.shape[1]}+{b.shape[1]} != "
+                f"model video_feature_size {want}")
+        vn = self.up_ds.video_name(video_id)
+        store = self.up_ds.store
+        for kind, arr in arrays.items():
+            np.save(os.path.join(store.feature_dir, f"{vn}_{kind}.npy"),
+                    arr)
+        store.invalidate()  # re-uploads must drop cached rows/mmaps
+        self.up_ds.frame_to_second[vn] = duration_to_frm2sec(
+            duration, n_frames, self.cfg.data.dset_name,
+            self.cfg.data.sampling_sec)
+
+    def _owner(self, video_id: str) -> Optional[CaptionDataset]:
+        """Dataset shell that can serve this video: uploads win (most
+        recent information), then the configured feature dir."""
+        if self.up_ds is not None:
+            vn = self.up_ds.video_name(video_id)
+            if self.up_ds.store.exists(vn) and \
+                    vn in self.up_ds.frame_to_second:
+                return self.up_ds
+        vn = self.ds.video_name(video_id)
+        if self.ds.store.exists(vn) and vn in self.ds.frame_to_second:
+            return self.ds
+        return None
+
     def make_entry(self, video_id: str, spec: Dict) -> dict:
         """Validate one request spec -> dataset entry.
 
         Raises ServingError with a client-usable message on bad input
-        (unknown feature files, missing duration row, no timestamps)."""
+        (unknown feature files, missing duration row, no timestamps).
+        A spec carrying 'features' (+ 'duration'/'n_frames') uploads the
+        video's feature arrays first."""
         if not isinstance(spec, dict) or "timestamps" not in spec:
             raise ServingError(
                 "request must carry {'timestamps': [[start_s, end_s], ...],"
@@ -218,24 +301,32 @@ class CaptionService:
         if len(ts) > self.max_clips:
             logger.warning("%s: %d clips truncated to serving max_clips=%d",
                            video_id, len(ts), self.max_clips)
+        if "features" in spec:
+            self.put_features(video_id, spec["features"],
+                              spec.get("duration"), spec.get("n_frames"))
         entry = inference_entries(
             {video_id: dict(timestamps=ts,
                             ingredients=list(spec.get("ingredients", [])),
                             sentences=spec.get("sentences"))},
             self.max_clips)[0]
-        vn = self.ds.video_name(video_id)
-        if not self.ds.store.exists(vn):
-            raise ServingError(
-                f"{video_id}: no feature files (<vid>_resnet.npy + "
-                f"<vid>_bn.npy) under {self.ds.store.feature_dir}")
-        if vn not in self.ds.frame_to_second:
+        owner = self._owner(video_id)
+        if owner is None:
+            vn = self.ds.video_name(video_id)
+            if not self.ds.store.exists(vn):
+                raise ServingError(
+                    f"{video_id}: no feature files (<vid>_resnet.npy + "
+                    f"<vid>_bn.npy) under {self.ds.store.feature_dir}"
+                    + (" — or upload them in the request ('features')"
+                       if self.up_ds is not None else ""))
             raise ServingError(
                 f"{video_id}: no duration row in "
                 f"{self.cfg.data.duration_file}")
+        entry["source"] = "upload" if owner is self.up_ds else "disk"
         return entry
 
     def example_for(self, entry: dict) -> Example:
-        return self.ds.make_example(entry)
+        ds = (self.up_ds if entry.get("source") == "upload" else self.ds)
+        return ds.make_example(entry)
 
     # ---------------------------------------------------------------- #
     # device batch decode

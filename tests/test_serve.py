@@ -199,6 +199,61 @@ def test_mesh_sharded_serving_identical(served):
             [c["sentence"] for c in clips]
 
 
+def test_feature_upload_roundtrip(served, tmp_path):
+    """A request carrying the feature arrays inline (base64 .npy +
+    duration/n_frames) decodes identically to the disk-staged video —
+    exercised through the HTTP daemon via the CaptionClient."""
+    import numpy as np
+    from svpc_tpu.cli.serve import start_server, stop_server
+    from svpc_tpu.client import CaptionClient, CaptionClientError
+    from svpc_tpu.serving import CaptionService, ServingError
+
+    service0, cfg, ds, model, params = served
+    names, feat_dir, dur_file = rb.setup_features(3)
+    vid = ds.data[0]["name"]
+    spec = _specs(ds)[vid]
+    expected = [c["sentence"] for c in service0.caption({vid: spec})[vid]]
+
+    # upload is opt-in: the plain service rejects inline features
+    with pytest.raises(ServingError, match="disabled"):
+        service0.make_entry(vid, dict(spec, features={}))
+
+    resnet = np.load(f"{feat_dir}/{vid}_resnet.npy")
+    bn = np.load(f"{feat_dir}/{vid}_bn.npy")
+    dur_row = next(l for l in open(dur_file) if l.startswith(vid))
+    _, duration, n_frames = dur_row.strip().split(",")
+
+    service = CaptionService(cfg, model, params, batch_videos=1,
+                             upload_dir=str(tmp_path / "spool"))
+    server = start_server(service, port=0, max_wait_ms=5.0)
+    host, port = server.server_address[:2]
+    client = CaptionClient(f"http://{host}:{port}")
+    try:
+        resp = client.caption("brand_new_video", spec["timestamps"],
+                              spec["ingredients"], resnet=resnet, bn=bn,
+                              duration=float(duration),
+                              n_frames=float(n_frames))
+        assert [c["sentence"] for c in resp["captions"]] == expected
+
+        # spool persists: a follow-up request without features works
+        resp2 = client.caption("brand_new_video", spec["timestamps"],
+                               spec["ingredients"])
+        assert [c["sentence"] for c in resp2["captions"]] == expected
+
+        # client-visible validation failures
+        with pytest.raises(CaptionClientError) as ei:
+            client.caption("v2", spec["timestamps"], [], resnet=resnet,
+                           bn=bn, duration=None, n_frames=None)
+        assert ei.value.code == 400 and "duration" in ei.value.message
+        with pytest.raises(CaptionClientError) as ei:
+            client.caption("v3", spec["timestamps"], [],
+                           resnet=resnet[:, :4], bn=bn, duration=1.0,
+                           n_frames=30)
+        assert ei.value.code == 400
+    finally:
+        stop_server(server)
+
+
 def test_http_server_end_to_end(served):
     """POST /v1/captions answers with the offline sentences; healthz and
     stats respond; bad requests get 400s."""
