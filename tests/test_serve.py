@@ -199,6 +199,51 @@ def test_mesh_sharded_serving_identical(served):
             [c["sentence"] for c in clips]
 
 
+def test_beam_serving_matches_offline_beam(served):
+    """beam_size>1 serving emits the same sentences as the offline beam
+    eval path."""
+    from svpc_tpu.serving import CaptionService
+    from svpc_tpu.train.loop import run_greedy_eval
+
+    service0, cfg, ds, model, params = served
+    beamed = CaptionService(cfg, model, params, batch_videos=2,
+                            beam_size=2)
+    sub = run_greedy_eval(model, params, ds, cfg, beam_size=2)
+    got = beamed.caption(_specs(ds))
+    for vid, clips in sub["results"].items():
+        assert [c["sentence"] for c in got[vid]] == \
+            [c["sentence"] for c in clips]
+
+
+def test_batcher_survives_decode_failure(served):
+    """A failing device batch surfaces the error to its waiters and the
+    worker keeps serving subsequent requests."""
+    from svpc_tpu.serving import DynamicBatcher
+
+    service, cfg, ds, _, _ = served
+    specs = _specs(ds)
+    vid = next(iter(specs))
+    entry = service.make_entry(vid, specs[vid])
+    expected = [c["sentence"]
+                for c in service.caption({vid: specs[vid]})[vid]]
+
+    batcher = DynamicBatcher(service, max_wait_ms=5.0)
+    real_decode = service._decode
+    boom = RuntimeError("injected device failure")
+    service._decode = lambda *a, **k: (_ for _ in ()).throw(boom)
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            batcher.submit(entry, timeout=60.0)
+    finally:
+        service._decode = real_decode
+    # the worker thread survived and the next request succeeds
+    assert batcher.submit(service.make_entry(vid, specs[vid]),
+                          timeout=120.0) == expected
+    snap = batcher.stats.snapshot()
+    assert snap["errors"] == 1 and snap["batches"] == 1
+    batcher.close()
+
+
 def test_feature_upload_roundtrip(served, tmp_path):
     """A request carrying the feature arrays inline (base64 .npy +
     duration/n_frames) decodes identically to the disk-staged video —
