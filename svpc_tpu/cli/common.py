@@ -172,6 +172,8 @@ def config_from_args(args) -> Config:
             optimizer_dtype=getattr(args, "optimizer_dtype", "float32"),
             grad_accum_steps=args.grad_accum_steps,
             steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
+            checkpoint_every_steps=getattr(args, "checkpoint_every_steps",
+                                           0),
             pack_clips=not args.no_pack_clips,
             length_group=args.length_group,
             debug=args.debug),

@@ -32,7 +32,11 @@ def main():
                    help="per-op NaN checks (reference anomaly-detection analog)")
     p.add_argument("--resume_from", default=None,
                    help="checkpoint dir to resume training from "
-                        "(params+optimizer+EMA+epoch)")
+                        "(params+optimizer+EMA+epoch; a mid-epoch "
+                        "checkpoint resumes inside its epoch exactly)")
+    p.add_argument("--checkpoint_every_steps", type=int, default=0,
+                   help="also save checkpoint_last every N optimizer "
+                        "steps (mid-epoch crash recovery; 0 = per epoch)")
     p.add_argument("--multihost", action="store_true",
                    help="multi-host slice: jax.distributed.initialize() "
                         "from the TPU environment; each host feeds its "

@@ -227,6 +227,14 @@ class TrainConfig:
     # latency (the measured single-chip bottleneck at this geometry,
     # DESIGN.md §7) is amortized K-fold.  Requires grad_accum_steps == 1.
     steps_per_dispatch: int = 1
+    # mid-epoch checkpointing: also save checkpoint_last (plus a
+    # .progress.json sidecar carrying the within-epoch step count) every
+    # N optimizer steps, at accumulation-group boundaries.  Resume from
+    # such a checkpoint continues INSIDE the epoch with the exact
+    # trajectory (deterministic shuffle + step-keyed rng folding); the
+    # resumed epoch's train-metric row then covers only the post-resume
+    # steps.  0 = epoch-end checkpoints only (round-1 behavior).
+    checkpoint_every_steps: int = 0
     # length-grouped shuffling: sort each window of K*batch_size shuffled
     # videos by (max clip frames, step count) before cutting batches, so
     # packed batches of similar clip length get small video-span buckets.

@@ -348,12 +348,33 @@ def train(cfg: Config, workdir: str,
     state = TrainState.create(params, tx, use_ema=cfg.train.ema_decay > 0,
                               ema_dtype=cfg.train.optimizer_dtype)
     start_epoch = 0
+    resume_skip = 0  # host batches already consumed inside start_epoch
     if resume_from:
         from svpc_tpu.train.state import load_checkpoint
         state = load_checkpoint(resume_from, state)
         start_epoch = int(state.epoch) + 1
-        logger.info("resumed from %s at step %d (epoch %d)",
-                    resume_from, int(state.step), start_epoch)
+        # a mid-epoch checkpoint carries a .progress.json sidecar naming
+        # the epoch it was taken in and how many host batches were done;
+        # the deterministic shuffle (seed+epoch) + step-keyed rng folding
+        # make skipping those batches trajectory-exact
+        prog_path = os.path.abspath(resume_from) + ".progress.json"
+        if os.path.exists(prog_path):
+            with open(prog_path) as f:
+                prog = json.load(f)
+            if prog.get("step", int(state.step)) != int(state.step):
+                # torn pair (crash between checkpoint and sidecar):
+                # fall back to restarting the epoch from its first batch
+                logger.warning(
+                    "progress sidecar step %s != checkpoint step %d — "
+                    "ignoring it and restarting the epoch",
+                    prog.get("step"), int(state.step))
+            elif prog.get("batches_done", -1) >= 0:
+                start_epoch = int(prog["epoch"])
+                resume_skip = int(prog["batches_done"])
+        logger.info("resumed from %s at step %d (epoch %d%s)",
+                    resume_from, int(state.step), start_epoch,
+                    f", skipping {resume_skip} batches" if resume_skip
+                    else "")
     if mesh is not None:
         # place the whole TrainState by the TP partition rules: params /
         # optimizer moments / EMA shadow leaves share the same dict paths,
@@ -474,6 +495,24 @@ def train(cfg: Config, workdir: str,
                     running, es_cnt = s, 0
                 else:
                     es_cnt += 1
+    ckpt_every = cfg.train.checkpoint_every_steps
+    prog_sidecar = os.path.join(workdir, "checkpoint_last.progress.json")
+
+    def save_last(cur_state, completed_epoch: int, batches_done: int,
+                  cur_epoch: int):
+        """checkpoint_last + .progress.json.  ``completed_epoch`` feeds
+        the state's epoch field (last fully finished epoch);
+        ``batches_done`` >= 0 marks a mid-epoch save inside
+        ``cur_epoch`` (-1 = epoch boundary)."""
+        s = jax.device_get(cur_state.replace(
+            epoch=jnp.asarray(completed_epoch, jnp.int32)))
+        save_checkpoint(workdir, s, cfg, name="checkpoint_last")
+        with open(prog_sidecar, "w") as f:
+            # "step" pins the sidecar to its checkpoint so a crash
+            # between the two writes is detected at resume
+            json.dump({"epoch": cur_epoch, "batches_done": batches_done,
+                       "step": int(s.step)}, f)
+
     tb = TBWriter(workdir, tensorboard)
     profiled = False
     prof_active = False
@@ -491,6 +530,12 @@ def train(cfg: Config, workdir: str,
                 seed=cfg.train.seed + epoch,
                 length_group=cfg.train.length_group,
                 builder=packing_builder(cfg, mesh))
+            skip = resume_skip if epoch == start_epoch else 0
+            if skip:
+                # mid-epoch resume: the shuffle order is deterministic in
+                # (seed, epoch), so dropping the already-trained batches
+                # reproduces the uninterrupted trajectory exactly
+                host_iter = itertools.islice(host_iter, skip, None)
             sharding = batch_sharding(mesh) if mesh is not None else None
             if spd > 1:
                 if max_steps_per_epoch:
@@ -498,7 +543,7 @@ def train(cfg: Config, workdir: str,
                     # step) so a K-step dispatch can't overshoot the cap —
                     # the capped trajectory stays identical to spd=1
                     host_iter = itertools.islice(
-                        host_iter, max_steps_per_epoch)
+                        host_iter, max(0, max_steps_per_epoch - skip))
                 host_iter = group_stack_batches(
                     host_iter, spd, cfg.model.max_t_len,
                     mesh.shape.get("dp", 1) if mesh is not None else 1)
@@ -508,7 +553,7 @@ def train(cfg: Config, workdir: str,
                 host_iter, size=2, sharding=sharding, transform=feat_cast)
             acc_grads = None
             n_micro = 0
-            epoch_steps = 0
+            epoch_steps = skip
             for batch, _ in batch_iter:
                 if profile_steps and not profiled and not prof_active \
                         and global_step >= 1:
@@ -547,6 +592,14 @@ def train(cfg: Config, workdir: str,
                     jax.profiler.stop_trace()
                     profiled = True
                     logger.info("profiler trace written to %s/profile", workdir)
+                if ckpt_every and n_micro == 0:
+                    # mid-epoch checkpoint at accumulation-group
+                    # boundaries, every ckpt_every optimizer steps
+                    # (= ckpt_every*accum host batches)
+                    period = ckpt_every * accum
+                    if (epoch_steps // period) > \
+                            ((epoch_steps - n_in) // period):
+                        save_last(state, epoch - 1, epoch_steps, epoch)
                 if max_steps_per_epoch and epoch_steps >= max_steps_per_epoch:
                     break
             if acc_grads is not None:
@@ -563,7 +616,11 @@ def train(cfg: Config, workdir: str,
                 logger.info("profiler trace written to %s/profile (%d of "
                             "%d requested steps)", workdir, prof_n,
                             profile_steps)
-            train_m = aggregate_metrics(jax.device_get(metrics))
+            # a mid-epoch resume that landed exactly on the epoch
+            # boundary has no steps left in this epoch
+            train_m = (aggregate_metrics(jax.device_get(metrics))
+                       if metrics else
+                       dict(loss_per_word=float("nan"), acc=float("nan")))
             if train_m.get("nonfinite_skipped"):
                 logger.warning(
                     "[epoch %d] skipped %d nonfinite update(s) — params "
@@ -644,8 +701,7 @@ def train(cfg: Config, workdir: str,
             # always keep a resumable latest checkpoint (the reference
             # cannot resume mid-training at all — SURVEY §5)
             state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
-            save_checkpoint(workdir, jax.device_get(state), cfg,
-                            name="checkpoint_last")
+            save_last(state, epoch, -1, epoch)
             # history lands on disk with every checkpoint, so resuming a
             # crashed run can seed best-score / early-stop state from it
             with open(hist_path, "w") as f:

@@ -137,3 +137,86 @@ def test_run_greedy_eval_mesh_matches_single_device():
     sharded["params"] = shard_params(mesh, params["params"])
     sub_mesh = run_greedy_eval(model, sharded, ds, cfg, mesh=mesh)
     assert sub_single == sub_mesh
+
+
+def test_midepoch_checkpoint_resume_exact(tmp_path):
+    """--checkpoint_every_steps: a run killed mid-epoch resumes INSIDE
+    the epoch and lands on the exact uninterrupted trajectory (params,
+    optimizer state, val metrics) — deterministic shuffle + step-keyed
+    rng folding make skipping the already-trained batches exact."""
+    import jax
+
+    names, feat_dir, dur_file = rb.setup_features(3)
+    cfg, _ = rb.build_ours("full", feat_dir, dur_file)
+    cfg = cfg.replace_train(batch_size=1, val_batch_size=2, n_epoch=2,
+                            checkpoint_every_steps=1)
+
+    from svpc_tpu.data.pipeline import CaptionDataset
+    from svpc_tpu.train import loop as loop_mod
+    import svpc_tpu.runtime as rt
+
+    orig_init = CaptionDataset.__init__
+
+    def patched_init(self, c, split, **kw):
+        orig_init(self, c, "val", **kw)
+        self.split = split
+
+    class Boom(Exception):
+        pass
+
+    orig_retry = rt.transient_retry
+    calls = {"n": 0}
+
+    def bombing_retry(fn, attempts=3, what="step"):
+        wrapped = orig_retry(fn, attempts, what)
+        if what != "train step":
+            return wrapped
+
+        def bomb(*a, **k):
+            if calls["n"] >= 4:  # 3 steps of epoch 0 + 1 step of epoch 1
+                raise Boom()
+            calls["n"] += 1
+            return wrapped(*a, **k)
+
+        return bomb
+
+    CaptionDataset.__init__ = patched_init
+    try:
+        res_a = loop_mod.train(cfg, str(tmp_path / "a"),
+                               eval_language=False, tensorboard=False)
+
+        rt.transient_retry = bombing_retry
+        try:
+            with pytest.raises(Boom):
+                loop_mod.train(cfg, str(tmp_path / "b"),
+                               eval_language=False, tensorboard=False)
+        finally:
+            rt.transient_retry = orig_retry
+
+        prog = json.load(open(tmp_path / "b" /
+                              "checkpoint_last.progress.json"))
+        assert prog == {"epoch": 1, "batches_done": 1, "step": 4}
+
+        res_b = loop_mod.train(
+            cfg, str(tmp_path / "b"), eval_language=False,
+            tensorboard=False,
+            resume_from=str(tmp_path / "b" / "checkpoint_last"))
+    finally:
+        CaptionDataset.__init__ = orig_init
+
+    # bit-exact trajectory: params AND optimizer state
+    a_leaves = jax.tree.leaves(jax.device_get(
+        (res_a["state"].params, res_a["state"].opt_state,
+         res_a["state"].ema_shadow)))
+    b_leaves = jax.tree.leaves(jax.device_get(
+        (res_b["state"].params, res_b["state"].opt_state,
+         res_b["state"].ema_shadow)))
+    assert len(a_leaves) == len(b_leaves)
+    for la, lb in zip(a_leaves, b_leaves):
+        assert np.array_equal(np.asarray(la), np.asarray(lb))
+    assert int(res_a["state"].step) == int(res_b["state"].step) == 6
+    # the epoch-1 validation metrics match the uninterrupted run's
+    va = res_a["history"][-1]["val"]
+    vb = res_b["history"][-1]["val"]
+    assert va["loss_per_word"] == pytest.approx(vb["loss_per_word"],
+                                                rel=1e-6)
