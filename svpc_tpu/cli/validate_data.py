@@ -34,6 +34,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import math
 import os
 
 import numpy as np
@@ -41,20 +42,13 @@ import numpy as np
 from svpc_tpu import tokenization as tok
 from svpc_tpu.cli.common import add_common_args, config_from_args
 from svpc_tpu.data.anet import (load_annotations, load_durations,
-                                timestamp_to_feature_span)
-from svpc_tpu.data.features import FeatureStore
-from svpc_tpu.data.pipeline import build_ingredient_arrays, inference_entries
+                                timestamp_to_feature_span,
+                                video_feature_name)
+from svpc_tpu.data.features import FeatureStore, npy_header
+from svpc_tpu.data.pipeline import (build_ingredient_arrays,
+                                    inference_entries, resolve_feature_dir)
 
 logger = logging.getLogger(__name__)
-
-
-def _npy_header(path):
-    with open(path, "rb") as f:
-        version = np.lib.format.read_magic(f)
-        reader = (np.lib.format.read_array_header_1_0 if version[0] == 1
-                  else np.lib.format.read_array_header_2_0)
-        shape, _, dtype = reader(f)
-    return shape, dtype
 
 
 def validate_video(entry, store: FeatureStore, frame_to_second, vocab,
@@ -71,10 +65,15 @@ def validate_video(entry, store: FeatureStore, frame_to_second, vocab,
                       f"{[p for p in (p_resnet, p_bn) if not os.path.exists(p)]}")
     else:
         try:
-            (r_rows, r_dim), r_dtype = _npy_header(p_resnet)
-            (b_rows, b_dim), b_dtype = _npy_header(p_bn)
+            (r_rows, r_dim), r_dtype = npy_header(p_resnet)
+            (b_rows, b_dim), b_dtype = npy_header(p_bn)
             if r_rows != b_rows:
                 errors.append(f"resnet rows {r_rows} != bn rows {b_rows}")
+            if min(r_rows, b_rows) == 0:
+                # falsy rows would silently skip every span check below,
+                # and the pipeline's span math negative-indexes an empty
+                # array for such files
+                errors.append("feature files have 0 rows")
             if r_dim + b_dim != m.video_feature_size:
                 errors.append(
                     f"feature dims {r_dim}+{b_dim} != "
@@ -102,8 +101,13 @@ def validate_video(entry, store: FeatureStore, frame_to_second, vocab,
         if len(ts) != 2:
             errors.append(f"clip {i}: timestamp {ts} is not [start, end]")
             continue
-        s, e = float(ts[0]), float(ts[1])
-        if s < 0 or e < s:
+        try:
+            s, e = float(ts[0]), float(ts[1])
+        except (TypeError, ValueError):
+            errors.append(f"clip {i}: non-numeric timestamp {ts}")
+            continue
+        if not (math.isfinite(s) and math.isfinite(e)) \
+                or s < 0 or e < s:
             errors.append(f"clip {i}: bad timestamp [{s}, {e}]")
             continue
         if frm2sec and rows:
@@ -166,7 +170,6 @@ def main(argv=None):
     if args.split:
         entries = load_annotations(d.data_dir, args.split, 10 ** 9)
         strict_budgets = True
-        subdir = "training" if args.split == "train" else "validation"
     else:
         with open(args.input_json) as f:
             spec = json.load(f)
@@ -176,19 +179,15 @@ def main(argv=None):
             raise SystemExit(f"malformed spec {args.input_json}: {e!r} — "
                              "expected {vid: {timestamps, ingredients}}")
         strict_budgets = False
-        subdir = "validation"
-    feat_dir = os.path.join(d.video_feature_dir, subdir)
-    if not os.path.isdir(feat_dir):
-        feat_dir = d.video_feature_dir
-    store = FeatureStore(feat_dir)
+    store = FeatureStore(resolve_feature_dir(
+        d.video_feature_dir, args.split or "val"))
     frame_to_second = load_durations(d.duration_file, d.dset_name,
                                      d.sampling_sec)
     vocab = tok.Vocabulary.from_json(d.word2idx_path)
-    strip = 2 if d.dset_name == "anet" else 0
 
     n_err = n_warn = 0
     for entry in entries:
-        vn = entry["name"][strip:] if strip else entry["name"]
+        vn = video_feature_name(entry["name"], d.dset_name)
         errors, warnings = validate_video(
             entry, store, frame_to_second, vocab, cfg, vn, strict_budgets)
         for msg in errors:

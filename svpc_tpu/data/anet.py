@@ -58,6 +58,12 @@ def load_annotations(data_dir: str, split: str, max_n_sen: int) -> List[dict]:
     return data
 
 
+def video_feature_name(name: str, dset_name: str) -> str:
+    """Annotation id -> feature-file stem: anet ids carry a "v_" prefix
+    the feature files drop (recursive_caption_dataset.py:98,186)."""
+    return name[2:] if dset_name == "anet" else name
+
+
 def duration_to_frm2sec(vid_dur: float, vid_frame: float,
                         dset_name: str = "yc2",
                         sampling_sec: float = 0.5) -> float:

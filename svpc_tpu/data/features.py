@@ -18,6 +18,16 @@ import numpy as np
 from svpc_tpu.data.anet import timestamp_to_feature_span
 
 
+def npy_header(path: str):
+    """(shape, dtype) from a .npy header alone — no data IO."""
+    with open(path, "rb") as f:
+        version = np.lib.format.read_magic(f)
+        reader = (np.lib.format.read_array_header_1_0 if version[0] == 1
+                  else np.lib.format.read_array_header_2_0)
+        shape, _, dtype = reader(f)
+    return shape, dtype
+
+
 class FeatureStore:
     """Loads and caches per-video ResNet+BN-Inception features."""
 
@@ -64,11 +74,7 @@ class FeatureStore:
         feature bytes (lazy pipeline)."""
         if video_name in self._rows:
             return self._rows[video_name]
-        with open(self.paths(video_name)[0], "rb") as f:
-            version = np.lib.format.read_magic(f)
-            reader = (np.lib.format.read_array_header_1_0 if version[0] == 1
-                      else np.lib.format.read_array_header_2_0)
-            shape, _, _ = reader(f)
+        shape, _ = npy_header(self.paths(video_name)[0])
         self._rows[video_name] = shape[0]
         return shape[0]
 

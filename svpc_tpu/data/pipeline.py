@@ -228,6 +228,15 @@ def build_clip_arrays(
     return out
 
 
+def resolve_feature_dir(base_dir: str, split: str) -> str:
+    """Reference convention: features live under training/ (train split)
+    and validation/ (val AND test splits) — train.py:630,638,
+    test.py:297-303.  Falls back to the bare dir when no subdir exists."""
+    subdir = "training" if split == "train" else "validation"
+    feat_dir = os.path.join(base_dir, subdir)
+    return feat_dir if os.path.isdir(feat_dir) else base_dir
+
+
 class CaptionDataset:
     """YC2 recurrent captioning dataset producing fixed-shape examples."""
 
@@ -263,14 +272,8 @@ class CaptionDataset:
         with open(d.verb2idx_path) as f:
             self.verb2idx = json.load(f)
         self.action_vocab_size = len(self.verb2idx)
-        # reference convention: features live under training/ (train split)
-        # and validation/ (val AND test splits) — train.py:630,638,
-        # test.py:297-303.  Fall back to the bare dir when no subdir exists.
-        subdir = "training" if split == "train" else "validation"
-        feat_dir = os.path.join(d.video_feature_dir, subdir)
-        if not os.path.isdir(feat_dir):
-            feat_dir = d.video_feature_dir
-        self.store = feature_store or FeatureStore(feat_dir)
+        self.store = feature_store or FeatureStore(
+            resolve_feature_dir(d.video_feature_dir, split))
         self.frame_to_second = load_durations(
             d.duration_file, d.dset_name, d.sampling_sec)
         # ``entries`` bypasses the split files: caption new videos from a
@@ -281,9 +284,7 @@ class CaptionDataset:
         self._strict_budgets = entries is None
         data = (entries if entries is not None
                 else load_annotations(d.data_dir, split, self.num_steps))
-        # anet names carry a "v_" prefix stripped for feature files
-        # (recursive_caption_dataset.py:98,186)
-        self._strip = 2 if d.dset_name == "anet" else 0
+        self._dset_name = d.dset_name
         # fix_missing (recursive_caption_dataset.py:95-110)
         self.missing = [e["name"] for e in data
                         if not self.store.exists(self.video_name(e["name"]))]
@@ -296,7 +297,8 @@ class CaptionDataset:
                 self.num_steps, max(len(e["sentences"]) for e in self.data))
 
     def video_name(self, name: str) -> str:
-        return name[self._strip:] if self._strip else name
+        from svpc_tpu.data.anet import video_feature_name
+        return video_feature_name(name, self._dset_name)
 
     def __len__(self) -> int:
         return len(self.data)

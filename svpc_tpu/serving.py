@@ -264,8 +264,18 @@ class CaptionService:
         vn = self.up_ds.video_name(video_id)
         store = self.up_ds.store
         for kind, arr in arrays.items():
-            np.save(os.path.join(store.feature_dir, f"{vn}_{kind}.npy"),
-                    arr)
+            if arr.dtype not in (np.float32, np.float16):
+                # keep the spool on the native packer's f32/f16 fast path
+                # (a f64 file would demote every later decode of this
+                # video to the python fallback)
+                arr = arr.astype(np.float32)
+            # temp-write + atomic rename: a concurrent in-flight decode
+            # holding the old file's mmap keeps reading the old inode
+            # instead of seeing a truncated rewrite
+            final = os.path.join(store.feature_dir, f"{vn}_{kind}.npy")
+            tmp = final + ".tmp.npy"  # np.save keeps .npy-suffixed names
+            np.save(tmp, arr)
+            os.replace(tmp, final)
         store.invalidate()  # re-uploads must drop cached rows/mmaps
         self.up_ds.frame_to_second[vn] = duration_to_frm2sec(
             duration, n_frames, self.cfg.data.dset_name,
@@ -291,6 +301,13 @@ class CaptionService:
         (unknown feature files, missing duration row, no timestamps).
         A spec carrying 'features' (+ 'duration'/'n_frames') uploads the
         video's feature arrays first."""
+        if not isinstance(video_id, str) or not video_id \
+                or os.sep in video_id \
+                or (os.altsep and os.altsep in video_id) \
+                or ".." in video_id or video_id.startswith("."):
+            # ids become <id>_{resnet,bn}.npy paths (and upload WRITES
+            # them) — reject anything that could escape the directory
+            raise ServingError(f"invalid video_id {video_id!r}")
         if not isinstance(spec, dict) or "timestamps" not in spec:
             raise ServingError(
                 "request must carry {'timestamps': [[start_s, end_s], ...],"

@@ -359,8 +359,15 @@ def train(cfg: Config, workdir: str,
         # make skipping those batches trajectory-exact
         prog_path = os.path.abspath(resume_from) + ".progress.json"
         if os.path.exists(prog_path):
-            with open(prog_path) as f:
-                prog = json.load(f)
+            try:
+                with open(prog_path) as f:
+                    prog = json.load(f)
+            except (json.JSONDecodeError, OSError) as e:
+                # a torn sidecar must degrade to epoch-restart, never
+                # block the resume it exists to enable
+                logger.warning("unreadable progress sidecar %s (%s) — "
+                               "restarting the epoch", prog_path, e)
+                prog = {}
             if prog.get("step", int(state.step)) != int(state.step):
                 # torn pair (crash between checkpoint and sidecar):
                 # fall back to restarting the epoch from its first batch
@@ -507,11 +514,12 @@ def train(cfg: Config, workdir: str,
         s = jax.device_get(cur_state.replace(
             epoch=jnp.asarray(completed_epoch, jnp.int32)))
         save_checkpoint(workdir, s, cfg, name="checkpoint_last")
-        with open(prog_sidecar, "w") as f:
-            # "step" pins the sidecar to its checkpoint so a crash
-            # between the two writes is detected at resume
+        # atomic sidecar write; "step" pins it to its checkpoint so a
+        # crash between the two writes is detected at resume
+        with open(prog_sidecar + ".tmp", "w") as f:
             json.dump({"epoch": cur_epoch, "batches_done": batches_done,
                        "step": int(s.step)}, f)
+        os.replace(prog_sidecar + ".tmp", prog_sidecar)
 
     tb = TBWriter(workdir, tensorboard)
     profiled = False
@@ -536,14 +544,14 @@ def train(cfg: Config, workdir: str,
                 # (seed, epoch), so dropping the already-trained batches
                 # reproduces the uninterrupted trajectory exactly
                 host_iter = itertools.islice(host_iter, skip, None)
+            if max_steps_per_epoch:
+                # cap at the SOURCE (before any grouping), so neither a
+                # K-step dispatch nor a skip==cap resume can overshoot —
+                # the capped trajectory stays identical across modes
+                host_iter = itertools.islice(
+                    host_iter, max(0, max_steps_per_epoch - skip))
             sharding = batch_sharding(mesh) if mesh is not None else None
             if spd > 1:
-                if max_steps_per_epoch:
-                    # cap BEFORE grouping (one host batch == one optimizer
-                    # step) so a K-step dispatch can't overshoot the cap —
-                    # the capped trajectory stays identical to spd=1
-                    host_iter = itertools.islice(
-                        host_iter, max(0, max_steps_per_epoch - skip))
                 host_iter = group_stack_batches(
                     host_iter, spd, cfg.model.max_t_len,
                     mesh.shape.get("dp", 1) if mesh is not None else 1)

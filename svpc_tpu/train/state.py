@@ -62,6 +62,8 @@ class TrainState:
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, cfg: Config,
                     name: str = "checkpoint") -> str:
+    import shutil
+
     import orbax.checkpoint as ocp
     path = os.path.abspath(os.path.join(ckpt_dir, name))
     ckptr = ocp.StandardCheckpointer()
@@ -69,11 +71,20 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, cfg: Config,
         params=state.params, opt_state=state.opt_state,
         ema_shadow=state.ema_shadow, step=state.step, epoch=state.epoch)
     payload = {k: v for k, v in payload.items() if v is not None}
-    if os.path.exists(path):
-        import shutil
-        shutil.rmtree(path)
-    ckptr.save(path, payload)
+    # write beside, swap after: overwriting in place (rmtree-then-save)
+    # would leave NO checkpoint at all if the process dies mid-save —
+    # fatal for the frequent checkpoint_last rewrites mid-epoch
+    # checkpointing does.  The old checkpoint survives until the new one
+    # is complete; load_checkpoint falls back to the .swp if a crash
+    # lands between the rmtree and the rename below.
+    tmp = path + ".swp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ckptr.save(tmp, payload)
     ckptr.wait_until_finished()
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
     cfg.to_json(path + ".cfg.json")
     return path
 
@@ -85,5 +96,10 @@ def load_checkpoint(path: str, state: TrainState) -> TrainState:
         params=state.params, opt_state=state.opt_state,
         ema_shadow=state.ema_shadow, step=state.step, epoch=state.epoch)
     template = {k: v for k, v in template.items() if v is not None}
-    restored = ckptr.restore(os.path.abspath(path), template)
+    path = os.path.abspath(path)
+    if not os.path.exists(path) and os.path.exists(path + ".swp"):
+        # crash landed inside save_checkpoint's swap window: the fully
+        # written replacement is the recovery point
+        path = path + ".swp"
+    restored = ckptr.restore(path, template)
     return state.replace(**restored)

@@ -199,6 +199,35 @@ def test_mesh_sharded_serving_identical(served):
             [c["sentence"] for c in clips]
 
 
+def test_video_id_traversal_rejected(served, tmp_path):
+    """video_id becomes a filesystem path (and upload WRITES it): ids
+    that could escape the directory must be rejected up front."""
+    import numpy as np
+    from svpc_tpu.serving import CaptionService, ServingError
+
+    service, cfg, ds, model, params = served
+    for bad in ("../evil", "a/b", ".hidden", ""):
+        with pytest.raises(ServingError, match="invalid video_id"):
+            service.make_entry(bad, {"timestamps": [[0.0, 1.0]],
+                                     "ingredients": []})
+
+    # uploads land float32 regardless of the client's dtype (a f64 spool
+    # file would demote the video off the native packer's fast path)
+    up = CaptionService(cfg, model, params, batch_videos=1,
+                        upload_dir=str(tmp_path / "spool"), warmup=False)
+    feat_dim = cfg.model.video_feature_size
+    import base64, io
+    def b64(arr):
+        buf = io.BytesIO(); np.save(buf, arr)
+        return base64.b64encode(buf.getvalue()).decode()
+    up.put_features("vid64", {"resnet": b64(np.zeros((5, feat_dim - 2))),
+                              "bn": b64(np.zeros((5, 2)))},
+                    duration=2.0, n_frames=60)
+    saved = np.load(tmp_path / "spool" / "vid64_resnet.npy")
+    assert saved.dtype == np.float32
+    assert not list((tmp_path / "spool").glob("*.tmp.npy"))
+
+
 def test_beam_serving_matches_offline_beam(served):
     """beam_size>1 serving emits the same sentences as the offline beam
     eval path."""
