@@ -227,8 +227,15 @@ def main(argv=None):
                           request_timeout=args.request_timeout)
     host, port = server.server_address[:2]
     logger.info("serving on http://%s:%d (POST /v1/captions)", host, port)
+    # SIGTERM (the orchestration kill) drains like Ctrl-C: stop accepting,
+    # finish in-flight batches, then exit
+    import signal
+    stop_requested = threading.Event()
+    signal.signal(signal.SIGTERM, lambda *_: stop_requested.set())
     try:
-        threading.Event().wait()  # serve until interrupted
+        while not stop_requested.wait(timeout=1.0):
+            pass
+        logger.info("SIGTERM: draining and shutting down")
     except KeyboardInterrupt:
         logger.info("shutting down")
     finally:

@@ -428,27 +428,34 @@ class ServingStats:
         self.videos = 0
         self.clips = 0
         self._lat = collections.deque(maxlen=window)
+        self._batch_s = collections.deque(maxlen=window)
 
     def record_batch(self, n_videos: int, n_clips: int,
-                     latencies: Sequence[float]) -> None:
+                     latencies: Sequence[float],
+                     batch_seconds: Optional[float] = None) -> None:
         with self._lock:
             self.batches += 1
             self.videos += n_videos
             self.clips += n_clips
             self.requests += n_videos
             self._lat.extend(latencies)
+            if batch_seconds is not None:
+                self._batch_s.append(batch_seconds)
 
     def record_error(self, n: int = 1) -> None:
         with self._lock:
             self.errors += n
             self.requests += n
 
+    @staticmethod
+    def _quantiles(samples) -> dict:
+        s = sorted(samples)
+        q = (lambda p: round(s[min(len(s) - 1, int(p * len(s)))] * 1e3, 2)
+             if s else None)
+        return {"p50": q(0.50), "p90": q(0.90), "p99": q(0.99)}
+
     def snapshot(self) -> dict:
         with self._lock:
-            lat = sorted(self._lat)
-            q = (lambda p: round(lat[min(len(lat) - 1,
-                                         int(p * len(lat)))] * 1e3, 2)
-                 if lat else None)
             return {
                 "requests": self.requests,
                 "errors": self.errors,
@@ -457,8 +464,8 @@ class ServingStats:
                 "clips": self.clips,
                 "mean_batch_videos": (round(self.videos / self.batches, 2)
                                       if self.batches else None),
-                "latency_ms": {"p50": q(0.50), "p90": q(0.90),
-                               "p99": q(0.99)},
+                "latency_ms": self._quantiles(self._lat),
+                "batch_ms": self._quantiles(self._batch_s),
             }
 
 
@@ -551,14 +558,17 @@ class DynamicBatcher:
                     return
                 continue
             try:
+                t0 = time.perf_counter()
                 sents = self.service.decode_examples(
                     [p.example for p in items])
+                batch_s = time.perf_counter() - t0
                 for p, s in zip(items, sents):
                     p.result = s
                 self.stats.record_batch(
                     len(items),
                     sum(p.example.meta["n_steps"] for p in items),
-                    [time.perf_counter() - p.t_submit for p in items])
+                    [time.perf_counter() - p.t_submit for p in items],
+                    batch_seconds=batch_s)
             except Exception as e:  # surface to every waiter
                 logger.exception("batched decode failed")
                 for p in items:
