@@ -36,8 +36,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from svpc_tpu.cli.common import (add_common_args, adopt_checkpoint_sidecar,
                                  config_from_args)
-from svpc_tpu.serving import (CaptionService, DynamicBatcher, ServingError,
-                              dummy_example)
+from svpc_tpu.serving import (CaptionService, DecodeFailure, DynamicBatcher,
+                              ServingError, dummy_example)
 
 logger = logging.getLogger(__name__)
 
@@ -63,6 +63,12 @@ class CaptionHandler(BaseHTTPRequestHandler):
     batcher hang off the server object."""
 
     protocol_version = "HTTP/1.1"
+    # bounds a silent/stalled client so handler threads (non-daemon for
+    # clean drain) can always finish
+    timeout = 30
+    # feature uploads are the big payloads: a 2h video's f32 resnet+bn
+    # pair is ~180 MB, ~240 MB base64'd
+    max_request_bytes = 1 << 30
 
     def log_message(self, fmt, *fmt_args):  # route to logging, not stderr
         logger.debug("%s - %s", self.address_string(), fmt % fmt_args)
@@ -101,9 +107,14 @@ class CaptionHandler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", 0) or 0)
         except ValueError:
+            length = -1
+        if not 0 <= length <= self.max_request_bytes:
+            # a negative length would block rfile.read() until EOF; an
+            # absurd one would buffer it all before any validation
             self.close_connection = True
             srv.batcher.stats.record_error()
-            self._reply(400, {"error": "bad Content-Length header"})
+            self._reply(400, {"error": "bad Content-Length header "
+                                       f"(0..{self.max_request_bytes})"})
             return
         body = self.rfile.read(length)
         if self.path != "/v1/captions":
@@ -111,6 +122,8 @@ class CaptionHandler(BaseHTTPRequestHandler):
             return
         try:
             req = json.loads(body or b"{}")
+            if not isinstance(req, dict):
+                raise ServingError("request body must be a JSON object")
             video_id = req.get("video_id")
             if not video_id:
                 raise ServingError("request needs a 'video_id'")
@@ -129,6 +142,8 @@ class CaptionHandler(BaseHTTPRequestHandler):
                 # dropped, not silently mislaid
                 resp["truncated_clips"] = n_asked - len(entry["timestamps"])
             self._reply(200, resp)
+        except DecodeFailure as e:  # counted by the batcher worker
+            self._reply(502, {"error": str(e)})
         except (ServingError, ValueError, json.JSONDecodeError) as e:
             srv.batcher.stats.record_error()
             self._reply(400, {"error": str(e)})
@@ -140,7 +155,10 @@ class CaptionHandler(BaseHTTPRequestHandler):
 
 
 class CaptionHTTPServer(ThreadingHTTPServer):
-    daemon_threads = True
+    # non-daemon handlers: a drain (SIGTERM/shutdown) waits for in-flight
+    # responses to finish writing instead of killing them mid-reply; the
+    # handler-level socket timeout bounds the wait against stalled clients
+    daemon_threads = False
 
     def __init__(self, addr, service: CaptionService,
                  batcher: DynamicBatcher, request_timeout: float = 60.0):

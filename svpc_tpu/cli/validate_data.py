@@ -167,17 +167,30 @@ def main(argv=None):
     cfg = config_from_args(args)
     d, m = cfg.data, cfg.model
 
+    pre_errors = []  # (video, message) for spec lines that can't even parse
     if args.split:
         entries = load_annotations(d.data_dir, args.split, 10 ** 9)
         strict_budgets = True
     else:
         with open(args.input_json) as f:
             spec = json.load(f)
-        try:
-            entries = inference_entries(spec, 10 ** 9)
-        except (KeyError, ValueError, TypeError) as e:
-            raise SystemExit(f"malformed spec {args.input_json}: {e!r} — "
-                             "expected {vid: {timestamps, ingredients}}")
+        if not isinstance(spec, dict):
+            raise SystemExit(f"malformed spec {args.input_json}: expected "
+                             "a JSON object {vid: {timestamps, ...}}")
+        # per-video parse: one malformed line must not abort the whole
+        # damage report (ingredients are optional, matching the daemon)
+        entries = []
+        for vid, line in spec.items():
+            try:
+                if not isinstance(line, dict):
+                    raise ValueError("spec line is not an object")
+                entries.append(inference_entries(
+                    {vid: dict(line,
+                               ingredients=list(line.get("ingredients",
+                                                         [])))},
+                    10 ** 9)[0])
+            except (KeyError, ValueError, TypeError) as e:
+                pre_errors.append((vid, f"malformed spec line: {e}"))
         strict_budgets = False
     store = FeatureStore(resolve_feature_dir(
         d.video_feature_dir, args.split or "val"))
@@ -186,6 +199,9 @@ def main(argv=None):
     vocab = tok.Vocabulary.from_json(d.word2idx_path)
 
     n_err = n_warn = 0
+    for vid, msg in pre_errors:
+        logger.info("ERROR   %s: %s", vid, msg)
+        n_err += 1
     for entry in entries:
         vn = video_feature_name(entry["name"], d.dset_name)
         errors, warnings = validate_video(
@@ -198,7 +214,7 @@ def main(argv=None):
         n_warn += bool(warnings)
 
     logger.info("%d video(s): %d with errors, %d with warnings",
-                len(entries), n_err, n_warn)
+                len(entries) + len(pre_errors), n_err, n_warn)
     if n_err or (args.strict and n_warn):
         raise SystemExit(1)
 

@@ -430,8 +430,12 @@ class CaptionDataset:
     def batches(self, batch_size: int, shuffle: bool = False,
                 seed: int = 0, drop_remainder: bool = False,
                 pad_to_batch: bool = True, length_group: int = 0,
-                builder=None):
+                builder=None, skip: int = 0):
         """Yield (Batch, metas) pairs.
+
+        ``skip`` drops the first N batches BEFORE any example/feature
+        work (mid-epoch resume: skipping with islice downstream would
+        pack and feature-fill every discarded batch).
 
         ``builder(examples, padded_batch_size) -> Batch`` overrides the
         dense stack (e.g. data/packing.pack_examples builds the packed
@@ -461,6 +465,8 @@ class CaptionDataset:
         else:
             batches = [order[i:i + batch_size]
                        for i in range(0, len(order), batch_size)]
+        if skip:
+            batches = batches[skip:]
         for idx in batches:
             if drop_remainder and len(idx) < batch_size:
                 continue

@@ -56,6 +56,11 @@ class ServingError(ValueError):
     """Client-side request problem (maps to HTTP 400)."""
 
 
+class DecodeFailure(RuntimeError):
+    """Device-side batch failure, already counted in the serving stats
+    by the batcher worker (maps to HTTP 502, not re-counted)."""
+
+
 def dummy_example(cfg: Config, num_steps: int,
                   action_vocab_size: int) -> Example:
     """A zero-filled Example with exactly the shapes CaptionDataset.
@@ -146,6 +151,7 @@ class CaptionService:
         # arrays themselves (plus duration/n_frames for the frm2sec math)
         # instead of relying on files pre-staged under video_feature_dir
         self._upload_dir = upload_dir
+        self._upload_lock = threading.Lock()
         self.up_ds: Optional[CaptionDataset] = None
         if upload_dir:
             from svpc_tpu.data.features import FeatureStore
@@ -163,6 +169,12 @@ class CaptionService:
         # Each bucket is one XLA program, all compiled at warmup.
         mult = cfg.train.pack_clip_multiple
         budget = _round_up((batch_videos // dp) * max_clips, mult)
+        dropped = [int(b) for b in (clip_buckets or [])
+                   if not 0 < int(b) < budget]
+        if dropped:
+            logger.warning(
+                "clip_buckets %s outside (0, worst-case budget %d) have "
+                "no effect and were ignored", dropped, budget)
         buckets = sorted({_round_up(int(b), mult)
                           for b in (clip_buckets or [])
                           if 0 < int(b) < budget} | {budget})
@@ -263,23 +275,32 @@ class CaptionService:
                 f"model video_feature_size {want}")
         vn = self.up_ds.video_name(video_id)
         store = self.up_ds.store
-        for kind, arr in arrays.items():
-            if arr.dtype not in (np.float32, np.float16):
-                # keep the spool on the native packer's f32/f16 fast path
-                # (a f64 file would demote every later decode of this
-                # video to the python fallback)
-                arr = arr.astype(np.float32)
-            # temp-write + atomic rename: a concurrent in-flight decode
-            # holding the old file's mmap keeps reading the old inode
-            # instead of seeing a truncated rewrite
-            final = os.path.join(store.feature_dir, f"{vn}_{kind}.npy")
-            tmp = final + ".tmp.npy"  # np.save keeps .npy-suffixed names
-            np.save(tmp, arr)
-            os.replace(tmp, final)
-        store.invalidate()  # re-uploads must drop cached rows/mmaps
-        self.up_ds.frame_to_second[vn] = duration_to_frm2sec(
-            duration, n_frames, self.cfg.data.dset_name,
-            self.cfg.data.sampling_sec)
+        with self._upload_lock:
+            # uploads are serialized against each other (unique tmp names
+            # guard a racing pair anyway).  A RE-upload concurrent with an
+            # in-flight decode of the same video can still observe a
+            # mixed resnet/bn pair between the two renames — the packer's
+            # hard row-bound guard fails that batch cleanly rather than
+            # corrupting it; uploads of new ids (the common case) are
+            # untouched by this window.
+            for kind, arr in arrays.items():
+                if arr.dtype not in (np.float32, np.float16):
+                    # keep the spool on the native packer's f32/f16 fast
+                    # path (a f64 file would demote every later decode of
+                    # this video to the python fallback)
+                    arr = arr.astype(np.float32)
+                # temp-write + atomic rename: a concurrent in-flight
+                # decode holding the old file's mmap keeps reading the
+                # old inode instead of seeing a truncated rewrite
+                final = os.path.join(store.feature_dir, f"{vn}_{kind}.npy")
+                tmp = (f"{final}.{os.getpid()}.{threading.get_ident()}"
+                       ".tmp.npy")  # np.save keeps .npy-suffixed names
+                np.save(tmp, arr)
+                os.replace(tmp, final)
+            store.invalidate()  # re-uploads must drop cached rows/mmaps
+            self.up_ds.frame_to_second[vn] = duration_to_frm2sec(
+                duration, n_frames, self.cfg.data.dset_name,
+                self.cfg.data.sampling_sec)
 
     def _owner(self, video_id: str) -> Optional[CaptionDataset]:
         """Dataset shell that can serve this video: uploads win (most
@@ -313,8 +334,19 @@ class CaptionService:
                 "request must carry {'timestamps': [[start_s, end_s], ...],"
                 " 'ingredients': [...]}")
         ts = spec["timestamps"]
-        if not ts:
+        if not isinstance(ts, (list, tuple)) or not ts:
             raise ServingError(f"{video_id}: needs at least one timestamp")
+        for i, t in enumerate(ts):
+            bad = (not isinstance(t, (list, tuple)) or len(t) != 2)
+            if not bad:
+                try:
+                    float(t[0]), float(t[1])
+                except (TypeError, ValueError):
+                    bad = True
+            if bad:
+                raise ServingError(
+                    f"{video_id}: timestamp {i} must be a numeric "
+                    f"[start_s, end_s] pair, got {t!r}")
         if len(ts) > self.max_clips:
             logger.warning("%s: %d clips truncated to serving max_clips=%d",
                            video_id, len(ts), self.max_clips)
@@ -571,8 +603,12 @@ class DynamicBatcher:
                     batch_seconds=batch_s)
             except Exception as e:  # surface to every waiter
                 logger.exception("batched decode failed")
+                # wrapped so the transport layer knows this failure is
+                # already counted here (no double accounting)
+                err = DecodeFailure(f"batched decode failed: {e!r}")
+                err.__cause__ = e
                 for p in items:
-                    p.error = e
+                    p.error = err
                 self.stats.record_error(len(items))
             finally:
                 for p in items:

@@ -533,17 +533,16 @@ def train(cfg: Config, workdir: str,
             from svpc_tpu.data.prefetch import prefetch_to_device
             from svpc_tpu.parallel.mesh import batch_sharding
 
+            # mid-epoch resume: the shuffle order is deterministic in
+            # (seed, epoch), so dropping the already-trained batches at
+            # the source (before any example/feature work) reproduces the
+            # uninterrupted trajectory exactly
+            skip = resume_skip if epoch == start_epoch else 0
             host_iter = train_ds.batches(
                 cfg.train.batch_size, shuffle=True,
                 seed=cfg.train.seed + epoch,
                 length_group=cfg.train.length_group,
-                builder=packing_builder(cfg, mesh))
-            skip = resume_skip if epoch == start_epoch else 0
-            if skip:
-                # mid-epoch resume: the shuffle order is deterministic in
-                # (seed, epoch), so dropping the already-trained batches
-                # reproduces the uninterrupted trajectory exactly
-                host_iter = itertools.islice(host_iter, skip, None)
+                builder=packing_builder(cfg, mesh), skip=skip)
             if max_steps_per_epoch:
                 # cap at the SOURCE (before any grouping), so neither a
                 # K-step dispatch nor a skip==cap resume can overshoot —

@@ -87,11 +87,26 @@ def test_split_mode_reports_missing_features(caplog):
     assert "with errors" in caplog.records[-1].getMessage()
 
 
-def test_malformed_spec_rejected(tmp_path):
+def test_malformed_spec_rejected(tmp_path, caplog):
     from svpc_tpu.cli.validate_data import main
 
+    caplog.set_level(logging.INFO)
     names, feat_dir, dur_file = rb.setup_features(3)
+    cfg, ds = rb.build_ours("copy", feat_dir, dur_file)
     spec_path = tmp_path / "spec.json"
-    spec_path.write_text(json.dumps({"v": {"timestamps": [[0, 1]]}}))
+
+    # top-level shape wrong -> hard error
+    spec_path.write_text(json.dumps([1, 2]))
     with pytest.raises(SystemExit, match="malformed spec"):
         main(_argv(feat_dir, dur_file, ["--input_json", str(spec_path)]))
+
+    # one malformed LINE is reported per-video; good lines (incl. ones
+    # without the optional ingredients key) still validate
+    good = ds.data[0]
+    spec_path.write_text(json.dumps({
+        "vbad": [1, 2],
+        good["name"]: {"timestamps": good["timestamps"]}}))
+    with pytest.raises(SystemExit):  # exit 1: vbad has errors
+        main(_argv(feat_dir, dur_file, ["--input_json", str(spec_path)]))
+    assert "malformed spec line" in caplog.text
+    assert "2 video(s): 1 with errors" in caplog.records[-1].getMessage()
