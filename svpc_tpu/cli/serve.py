@@ -23,7 +23,8 @@ API (JSON over HTTP):
   GET /healthz     -> {"status": "ok", ...model/serving geometry...}
   GET /v1/stats    -> request/batch counters + latency quantiles
 
-Errors: 400 (bad spec / unknown video), 503 (decode timeout), 500.
+Errors: 400 (bad spec / unknown video), 411 (chunked body), 502 (device
+batch failed), 503 (decode timeout), 500.
 """
 
 from __future__ import annotations
@@ -32,12 +33,13 @@ import argparse
 import json
 import logging
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from svpc_tpu.cli.common import (add_common_args, adopt_checkpoint_sidecar,
                                  config_from_args)
-from svpc_tpu.serving import (CaptionService, DecodeFailure, DynamicBatcher,
-                              ServingError, dummy_example)
+from svpc_tpu.serving import (CaptionService, DecodeFailure, DecodeTimeout,
+                              DynamicBatcher, ServingError, dummy_example)
 
 logger = logging.getLogger(__name__)
 
@@ -63,8 +65,8 @@ class CaptionHandler(BaseHTTPRequestHandler):
     batcher hang off the server object."""
 
     protocol_version = "HTTP/1.1"
-    # bounds a silent/stalled client so handler threads (non-daemon for
-    # clean drain) can always finish
+    # bounds a silent/stalled client: no single socket read or write can
+    # block a handler (or a drain) for more than this
     timeout = 30
     # feature uploads are the big payloads: a 2h video's f32 resnet+bn
     # pair is ~180 MB, ~240 MB base64'd
@@ -72,6 +74,29 @@ class CaptionHandler(BaseHTTPRequestHandler):
 
     def log_message(self, fmt, *fmt_args):  # route to logging, not stderr
         logger.debug("%s - %s", self.address_string(), fmt % fmt_args)
+
+    def _tracked(self, inner):
+        """Bracket one request in the server's in-flight counter so a
+        drain can wait (bounded) for requests that are mid-decode or
+        mid-write — idle keep-alive connections don't count — and end
+        keep-alive connections once draining starts."""
+        srv = self.server
+        with srv.inflight_lock:
+            srv.inflight += 1
+        try:
+            inner()
+        finally:
+            if srv.draining.is_set():
+                self.close_connection = True
+            with srv.inflight_lock:
+                srv.inflight -= 1
+                srv.inflight_zero.notify_all()
+
+    def do_GET(self):
+        self._tracked(self._do_get)
+
+    def do_POST(self):
+        self._tracked(self._do_post)
 
     def _reply(self, code: int, obj: dict) -> None:
         body = json.dumps(obj).encode()
@@ -81,7 +106,7 @@ class CaptionHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def do_GET(self):
+    def _do_get(self):
         srv = self.server
         if self.path == "/healthz":
             svc = srv.service
@@ -99,11 +124,19 @@ class CaptionHandler(BaseHTTPRequestHandler):
         else:
             self._reply(404, {"error": f"unknown path {self.path}"})
 
-    def do_POST(self):
+    def _do_post(self):
         srv = self.server
         # always drain the body first: an early error reply would leave
         # the unread bytes to be parsed as the next request on this
         # HTTP/1.1 keep-alive connection
+        if self.headers.get("Transfer-Encoding"):
+            # a chunked body can't be drained by Content-Length math and
+            # would desync the connection — refuse it outright
+            self.close_connection = True
+            srv.batcher.stats.record_error()
+            self._reply(411, {"error": "chunked/transfer-encoded bodies "
+                                       "unsupported; send Content-Length"})
+            return
         try:
             length = int(self.headers.get("Content-Length", 0) or 0)
         except ValueError:
@@ -144,21 +177,32 @@ class CaptionHandler(BaseHTTPRequestHandler):
             self._reply(200, resp)
         except DecodeFailure as e:  # counted by the batcher worker
             self._reply(502, {"error": str(e)})
+        except DecodeTimeout as e:  # submit() already recorded it
+            self._reply(503, {"error": str(e)})
+        except TimeoutError:
+            # NOT a decode timeout: the client's socket stalled while we
+            # were writing to it.  Nothing more can be sent — re-raise so
+            # handle_one_request closes the connection (replying here
+            # would block another full socket timeout on the same dead
+            # pipe).
+            logger.warning("client stalled mid-reply; dropping connection")
+            raise
         except (ServingError, ValueError, json.JSONDecodeError) as e:
             srv.batcher.stats.record_error()
             self._reply(400, {"error": str(e)})
-        except TimeoutError as e:  # submit() already recorded it
-            self._reply(503, {"error": str(e)})
         except Exception as e:  # keep the daemon alive
             logger.exception("request failed")
             self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
 
 class CaptionHTTPServer(ThreadingHTTPServer):
-    # non-daemon handlers: a drain (SIGTERM/shutdown) waits for in-flight
-    # responses to finish writing instead of killing them mid-reply; the
-    # handler-level socket timeout bounds the wait against stalled clients
-    daemon_threads = False
+    # daemon handler threads: the process can ALWAYS exit (an actively-
+    # sending keep-alive client can otherwise hold a non-daemon thread —
+    # and therefore server_close()'s unbounded join — forever).  Graceful
+    # drain is implemented explicitly instead: drain() waits up to a
+    # deadline for the in-flight request count to reach zero, so normal
+    # shutdowns still let every response finish writing.
+    daemon_threads = True
 
     def __init__(self, addr, service: CaptionService,
                  batcher: DynamicBatcher, request_timeout: float = 60.0):
@@ -166,6 +210,23 @@ class CaptionHTTPServer(ThreadingHTTPServer):
         self.service = service
         self.batcher = batcher
         self.request_timeout = request_timeout
+        self.draining = threading.Event()
+        self.inflight = 0
+        self.inflight_lock = threading.Lock()
+        self.inflight_zero = threading.Condition(self.inflight_lock)
+
+    def drain(self, timeout: float = 30.0) -> bool:
+        """Stop keep-alive reuse and wait (bounded) for in-flight
+        requests to finish; True if the server went quiet in time."""
+        self.draining.set()
+        deadline = time.monotonic() + timeout
+        with self.inflight_lock:
+            while self.inflight:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                self.inflight_zero.wait(remaining)
+            return True
 
 
 def start_server(service: CaptionService, host: str = "127.0.0.1",
@@ -182,8 +243,11 @@ def start_server(service: CaptionService, host: str = "127.0.0.1",
     return server
 
 
-def stop_server(server) -> None:
-    server.shutdown()
+def stop_server(server, drain_timeout: float = 30.0) -> None:
+    server.shutdown()  # stop accepting new connections
+    if not server.drain(drain_timeout):
+        logger.warning("drain timed out with %d request(s) still in "
+                       "flight; closing anyway", server.inflight)
     server.server_close()
     server.batcher.close()
 

@@ -465,11 +465,13 @@ class CaptionDataset:
         else:
             batches = [order[i:i + batch_size]
                        for i in range(0, len(order), batch_size)]
+        if drop_remainder:
+            # filter BEFORE skip so skip counts *yielded* batches (the
+            # mid-epoch-resume contract), not pre-filter index groups
+            batches = [b for b in batches if len(b) == batch_size]
         if skip:
             batches = batches[skip:]
         for idx in batches:
-            if drop_remainder and len(idx) < batch_size:
-                continue
             examples = [self[int(j)] for j in idx]
             eff = batch_size if pad_to_batch else len(idx)
             if builder is not None:

@@ -161,8 +161,18 @@ def beam_decode(model, params, batch, beam_size: int = 2,
 
     carry0 = (text_ids0, ext_ids0, mask0, scores0, next0, next0,
               finished0, lengths0, caches0)
-    (text_ids, ext_ids, _, scores, _, _, _, lengths, _), _ = jax.lax.scan(
-        step, carry0, jnp.arange(T, dtype=jnp.int32))
+    # T-1 select iterations: iteration t writes position t and selects the
+    # token for position t+1.  Selecting at t = T-1 would accumulate the
+    # log-prob (and length) of a position-T token that no buffer holds —
+    # a phantom that skews truncated hypotheses against finished ones.
+    (text_ids, ext_ids, _, scores, next_sym, oov_next, _, lengths,
+     _), _ = jax.lax.scan(
+        step, carry0, jnp.arange(max(T - 1, 0), dtype=jnp.int32))
+    # the token selected on the last iteration lands in the final slot
+    text_ids = jax.lax.dynamic_update_index_in_dim(
+        text_ids, next_sym, T - 1, axis=3)
+    ext_ids = jax.lax.dynamic_update_index_in_dim(
+        ext_ids, oov_next, T - 1, axis=3)
 
     if length_penalty > 0:
         norm = ((5.0 + lengths) / 6.0) ** length_penalty

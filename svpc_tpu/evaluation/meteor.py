@@ -69,9 +69,15 @@ class JarMeteor:
         return final, scores
 
     def _stat(self, hypothesis: str, references: List[str]) -> str:
-        hypothesis = hypothesis.replace("|||", "").replace("  ", " ")
+        def clean(s: str) -> str:
+            # the jar speaks a line-oriented '|||'-delimited protocol: a
+            # delimiter or newline inside ANY field (pycocoevalcap only
+            # scrubs the hypothesis) desyncs every readline after it
+            return " ".join(s.replace("|||", " ").split())
+
         score_line = " ||| ".join(
-            ("SCORE", " ||| ".join(references), hypothesis))
+            ("SCORE", " ||| ".join(clean(r) for r in references),
+             clean(hypothesis)))
         self.proc.stdin.write(score_line + "\n")
         return self.proc.stdout.readline().strip()
 
@@ -231,6 +237,8 @@ def approximate_meteor(gts: Dict, res: Dict,
     curated function-word list, and no synonym/paraphrase modules unless
     WordNet data is locally importable."""
     ids = sorted(gts.keys(), key=str)
+    if not ids:  # empty eval degrades to 0, not ZeroDivisionError
+        return 0.0, []
     scores = []
     for i in ids:
         hyp = res[i][0].lower().split()
@@ -244,6 +252,10 @@ def approximate_meteor(gts: Dict, res: Dict,
 
 def compute_meteor(gts: Dict, res: Dict) -> Tuple[float, List[float], str]:
     """Returns (score, per-id, backend).
+
+    The per-id list is ordered by ``sorted(gts.keys(), key=str)`` — i.e.
+    LEXICOGRAPHIC id order, both backends — so integer ids ≥ 10 do NOT
+    align with ``sorted(gts)``; zip against the same key=str ordering.
 
     A broken jar setup (jar present but its data/ missing, java dying
     mid-protocol, non-numeric output) falls back to the python

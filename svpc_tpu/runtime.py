@@ -14,7 +14,8 @@ logger = logging.getLogger(__name__)
 # were read").  These happen before the computation executes, so the call
 # is safe to reissue; anything else re-raises immediately.
 _TRANSIENT_MARKERS = ("remote_compile", "read body", "connection reset",
-                      "DEADLINE_EXCEEDED", "UNAVAILABLE")
+                      "deadline_exceeded", "deadline exceeded",
+                      "unavailable")  # matched against msg.lower()
 
 
 def transient_retry(fn, attempts: int = 3, what: str = "step"):
@@ -43,7 +44,8 @@ def transient_retry(fn, attempts: int = 3, what: str = "step"):
                         "(--resume_from <workdir>/checkpoint_last)"
                     ) from last
                 if (attempt == attempts - 1
-                        or not any(m in msg for m in _TRANSIENT_MARKERS)):
+                        or not any(m in msg.lower()
+                                   for m in _TRANSIENT_MARKERS)):
                     raise
                 last = e
                 logger.warning(

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import collections
 import logging
+import math
 import os
 import queue
 import threading
@@ -59,6 +60,13 @@ class ServingError(ValueError):
 class DecodeFailure(RuntimeError):
     """Device-side batch failure, already counted in the serving stats
     by the batcher worker (maps to HTTP 502, not re-counted)."""
+
+
+class DecodeTimeout(TimeoutError):
+    """submit() gave up waiting for the batched decode (already counted
+    by the submitter; maps to HTTP 503).  Distinct from a raw
+    TimeoutError, which at the HTTP layer means the CLIENT's socket
+    stalled and nothing more can be written to it."""
 
 
 def dummy_example(cfg: Config, num_steps: int,
@@ -275,27 +283,33 @@ class CaptionService:
                 f"model video_feature_size {want}")
         vn = self.up_ds.video_name(video_id)
         store = self.up_ds.store
+        # big work (f32 casts + ~100s-of-MB disk writes) happens OUTSIDE
+        # the lock under collision-free tmp names, so concurrent uploads
+        # of unrelated videos don't queue behind each other
+        staged = []  # (tmp, final)
+        for kind, arr in arrays.items():
+            if arr.dtype not in (np.float32, np.float16):
+                # keep the spool on the native packer's f32/f16 fast
+                # path (a f64 file would demote every later decode of
+                # this video to the python fallback)
+                arr = arr.astype(np.float32)
+            # temp-write + atomic rename: a concurrent in-flight
+            # decode holding the old file's mmap keeps reading the
+            # old inode instead of seeing a truncated rewrite
+            final = os.path.join(store.feature_dir, f"{vn}_{kind}.npy")
+            tmp = (f"{final}.{os.getpid()}.{threading.get_ident()}"
+                   ".tmp.npy")  # np.save keeps .npy-suffixed names
+            np.save(tmp, arr)
+            staged.append((tmp, final))
         with self._upload_lock:
-            # uploads are serialized against each other (unique tmp names
-            # guard a racing pair anyway).  A RE-upload concurrent with an
-            # in-flight decode of the same video can still observe a
-            # mixed resnet/bn pair between the two renames — the packer's
-            # hard row-bound guard fails that batch cleanly rather than
-            # corrupting it; uploads of new ids (the common case) are
-            # untouched by this window.
-            for kind, arr in arrays.items():
-                if arr.dtype not in (np.float32, np.float16):
-                    # keep the spool on the native packer's f32/f16 fast
-                    # path (a f64 file would demote every later decode of
-                    # this video to the python fallback)
-                    arr = arr.astype(np.float32)
-                # temp-write + atomic rename: a concurrent in-flight
-                # decode holding the old file's mmap keeps reading the
-                # old inode instead of seeing a truncated rewrite
-                final = os.path.join(store.feature_dir, f"{vn}_{kind}.npy")
-                tmp = (f"{final}.{os.getpid()}.{threading.get_ident()}"
-                       ".tmp.npy")  # np.save keeps .npy-suffixed names
-                np.save(tmp, arr)
+            # only the publish step is serialized: the two renames of one
+            # video land as a pair, so a racing RE-upload of the SAME id
+            # can't interleave into a mixed resnet/bn pair on disk.  (A
+            # re-upload concurrent with an in-flight decode of that video
+            # can still be observed mixed by the decode's already-open
+            # mmaps — the packer's hard row-bound guard fails that batch
+            # cleanly rather than corrupting it.)
+            for tmp, final in staged:
                 os.replace(tmp, final)
             store.invalidate()  # re-uploads must drop cached rows/mmaps
             self.up_ds.frame_to_second[vn] = duration_to_frm2sec(
@@ -333,20 +347,28 @@ class CaptionService:
             raise ServingError(
                 "request must carry {'timestamps': [[start_s, end_s], ...],"
                 " 'ingredients': [...]}")
-        ts = spec["timestamps"]
-        if not isinstance(ts, (list, tuple)) or not ts:
+        raw_ts = spec["timestamps"]
+        if not isinstance(raw_ts, (list, tuple)) or not raw_ts:
             raise ServingError(f"{video_id}: needs at least one timestamp")
-        for i, t in enumerate(ts):
-            bad = (not isinstance(t, (list, tuple)) or len(t) != 2)
-            if not bad:
-                try:
-                    float(t[0]), float(t[1])
-                except (TypeError, ValueError):
-                    bad = True
-            if bad:
+        ts = []  # coerced copy — downstream span math gets real floats
+        for i, t in enumerate(raw_ts):
+            try:
+                if not isinstance(t, (list, tuple)) or len(t) != 2:
+                    raise ValueError
+                s, e = float(t[0]), float(t[1])
+                # same rules as cli.validate_data's validate_video:
+                # JSON Infinity/NaN parse fine but floor(inf) raises
+                # downstream, and a negative start would turn into a
+                # negative feature-row index
+                if not (math.isfinite(s) and math.isfinite(e)
+                        and 0 <= s <= e):
+                    raise ValueError
+            except (TypeError, ValueError):
                 raise ServingError(
-                    f"{video_id}: timestamp {i} must be a numeric "
-                    f"[start_s, end_s] pair, got {t!r}")
+                    f"{video_id}: timestamp {i} must be a finite numeric "
+                    f"[start_s, end_s] pair with 0 <= start <= end, "
+                    f"got {t!r}")
+            ts.append([s, e])
         if len(ts) > self.max_clips:
             logger.warning("%s: %d clips truncated to serving max_clips=%d",
                            video_id, len(ts), self.max_clips)
@@ -436,7 +458,7 @@ class CaptionService:
 
 class _Pending:
     __slots__ = ("example", "done", "result", "error", "t_submit",
-                 "abandoned")
+                 "abandoned", "_acct_lock", "_accounted")
 
     def __init__(self, example: Example):
         self.example = example
@@ -447,6 +469,18 @@ class _Pending:
         # set when the submitter gave up (timeout / closed batcher): the
         # worker drops it instead of wasting a batch slot on it
         self.abandoned = False
+        self._acct_lock = threading.Lock()
+        self._accounted = False
+
+    def claim_accounting(self) -> bool:
+        """Exactly-once stats ownership: a request abandoned mid-decode
+        is counted by whoever claims it first (submitter's timeout error
+        or the worker's batch bookkeeping), never both."""
+        with self._acct_lock:
+            if self._accounted:
+                return False
+            self._accounted = True
+            return True
 
 
 class ServingStats:
@@ -539,14 +573,17 @@ class DynamicBatcher:
             # have exited on the sentinel, so fail fast instead of
             # blocking the full timeout on a queue nobody drains
             p.abandoned = True
-            self.stats.record_error()
+            if p.claim_accounting():
+                self.stats.record_error()
             raise RuntimeError("batcher is closed")
         if not p.done.wait(timeout):
-            # the worker skips abandoned pendings (no wasted batch slot,
-            # no double count in the stats)
+            # the worker skips abandoned pendings (no wasted batch slot);
+            # claim_accounting keeps a request abandoned MID-decode from
+            # being counted twice (here and in the worker's bookkeeping)
             p.abandoned = True
-            self.stats.record_error()
-            raise TimeoutError(
+            if p.claim_accounting():
+                self.stats.record_error()
+            raise DecodeTimeout(
                 f"decode did not complete within {timeout}s")
         if p.error is not None:
             raise p.error
@@ -596,10 +633,14 @@ class DynamicBatcher:
                 batch_s = time.perf_counter() - t0
                 for p, s in zip(items, sents):
                     p.result = s
+                # only requests still owned by a waiter count: one that
+                # timed out mid-decode was already recorded as an error
+                # by its submitter
+                mine = [p for p in items if p.claim_accounting()]
                 self.stats.record_batch(
-                    len(items),
-                    sum(p.example.meta["n_steps"] for p in items),
-                    [time.perf_counter() - p.t_submit for p in items],
+                    len(mine),
+                    sum(p.example.meta["n_steps"] for p in mine),
+                    [time.perf_counter() - p.t_submit for p in mine],
                     batch_seconds=batch_s)
             except Exception as e:  # surface to every waiter
                 logger.exception("batched decode failed")
@@ -609,7 +650,8 @@ class DynamicBatcher:
                 err.__cause__ = e
                 for p in items:
                     p.error = err
-                self.stats.record_error(len(items))
+                self.stats.record_error(
+                    sum(1 for p in items if p.claim_accounting()))
             finally:
                 for p in items:
                     p.done.set()

@@ -39,6 +39,11 @@ together aside once twice apart away almost along across behind
 altogether anymore meanwhile
 """.split())
 
+# Content words the blanket "-ly => adverb" heuristic would swallow:
+# recipe nouns (jelly roll, pork belly) — verbs like "apply" are instead
+# recovered by checking the verb lexicon before the suffix rule.
+_LY_NOUNS = frozenset("belly jelly lily assembly doily".split())
+
 # Spelled-out numerals (spaCy: NUM, never VERB/NOUN).  "one" and "half"
 # stay taggable — spaCy reads them as pronominal/partitive NOUNs ("add
 # one", "cut in half") and the shipped vocab contains both.
@@ -97,6 +102,10 @@ class LexiconTagger:
 
     def __init__(self, verb_lemmas: Optional[Sequence[str]] = None):
         lemmas = set(verb_lemmas or ())
+        # common cooking verbs that END IN -ly (absent from the Bosselut
+        # verb vocab) — without them the adverb suffix rule would swallow
+        # "apply the glaze" even though it checks the lexicon first
+        lemmas |= {"apply", "multiply"}
         forms = set()
         for v in lemmas:
             forms |= verb_inflections(v)
@@ -115,7 +124,9 @@ class LexiconTagger:
                     or _NUMBERISH.match(w) or not _HAS_LETTER.search(lw)):
                 tags.append("OTHER")
                 continue
-            if lw.endswith("ly") and len(lw) > 4:  # adverbs; keeps "fly"
+            if (lw.endswith("ly") and len(lw) > 4  # adverbs; keeps "fly"
+                    and lw not in self.verb_forms  # "apply", "multiply"
+                    and lw not in _LY_NOUNS):      # "jelly", "belly"
                 tags.append("OTHER")
                 continue
             if not seen_content:

@@ -6,6 +6,7 @@ at all — SURVEY §2: every entry point is an offline split script.)"""
 
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -106,6 +107,29 @@ def test_make_entry_validation():
     entry = service.make_entry(ds.data[0]["name"],
                                {"timestamps": [[0.0, 1.0]]})
     assert entry["ingredients"] == []
+    # timestamps are validated the way the span math needs them: finite,
+    # non-negative, ordered — and coerced to real floats (a JSON client
+    # may send "0.0" strings or Infinity, which json.loads accepts)
+    vid = ds.data[0]["name"]
+    for bad_ts in ([[-1.0, 2.0]], [[3.0, 1.0]], [[0.0, float("inf")]],
+                   [[float("nan"), 1.0]], [[0.0]], [[0.0, 1.0, 2.0]],
+                   ["ab"], [None]):
+        with pytest.raises(ServingError, match="timestamp"):
+            service.make_entry(vid, {"timestamps": bad_ts})
+    entry = service.make_entry(vid, {"timestamps": [["0.0", "2.5"]]})
+    assert entry["timestamps"] == [[0.0, 2.5]]
+    assert all(isinstance(v, float) for t in entry["timestamps"]
+               for v in t)
+
+
+def test_pending_accounting_claimed_once():
+    """A request abandoned mid-decode is counted by exactly one side
+    (submitter's timeout OR the worker's bookkeeping), never both."""
+    from svpc_tpu.serving import _Pending
+
+    p = _Pending(example=None)
+    assert p.claim_accounting() is True
+    assert p.claim_accounting() is False  # second claimant loses
 
 
 def test_dynamic_batcher_coalesces_and_matches(served):
@@ -389,5 +413,37 @@ def test_http_server_end_to_end(served):
         stats = json.load(urllib.request.urlopen(f"{base}/v1/stats",
                                                  timeout=30))
         assert stats["errors"] == 2
+    finally:
+        stop_server(server)
+
+
+def test_http_chunked_rejected_and_bounded_drain(served):
+    """A Transfer-Encoding body can't be drained by Content-Length math:
+    it is refused with 411 + connection close (instead of desyncing the
+    keep-alive stream), and drain() returns promptly once nothing is in
+    flight."""
+    import socket
+
+    from svpc_tpu.cli.serve import start_server, stop_server
+
+    service, cfg, ds, _, _ = served
+    server = start_server(service, port=0, max_wait_ms=10.0)
+    host, port = server.server_address[:2]
+    try:
+        s = socket.create_connection((host, port), timeout=30)
+        s.sendall(b"POST /v1/captions HTTP/1.1\r\nHost: x\r\n"
+                  b"Transfer-Encoding: chunked\r\n\r\n")
+        status = s.recv(65536).split(b"\r\n", 1)[0]
+        assert b"411" in status
+        # the server closed its side rather than reading chunk framing
+        s.settimeout(10)
+        rest = s.recv(65536)
+        while rest:
+            rest = s.recv(65536)
+        s.close()
+        # nothing in flight -> drain is immediate, not a 30s join
+        t0 = time.perf_counter()
+        assert server.drain(timeout=5.0) is True
+        assert time.perf_counter() - t0 < 5.0
     finally:
         stop_server(server)
