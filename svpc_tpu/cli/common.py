@@ -146,8 +146,8 @@ def config_from_args(args) -> Config:
             share_wd_cls_weight=args.share_wd_cls_weight,
             use_asl=args.use_asl == "asl",
             compute_dtype=args.compute_dtype, use_pallas=args.use_pallas,
-            remat=getattr(args, "remat", False),
-            vocab_pad_multiple=max(1, getattr(args, "tp_size", 1))),
+            remat=args.remat,
+            vocab_pad_multiple=max(1, args.tp_size)),
         data=DataConfig(
             dset_name=args.dset_name,
             data_dir=args.data_dir,
@@ -166,12 +166,15 @@ def config_from_args(args) -> Config:
             lr_warmup_proportion=args.lr_warmup_proportion,
             ema_decay=args.ema_decay, freeze_glove=args.freeze_glove,
             dp_size=args.dp_size,
-            tp_size=getattr(args, "tp_size", 1),
-            pp_size=getattr(args, "pp_size", 1),
-            zero1=getattr(args, "zero1", False),
-            optimizer_dtype=getattr(args, "optimizer_dtype", "float32"),
+            tp_size=args.tp_size,
+            pp_size=args.pp_size,
+            zero1=args.zero1,
+            optimizer_dtype=args.optimizer_dtype,
             grad_accum_steps=args.grad_accum_steps,
-            steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
+            steps_per_dispatch=args.steps_per_dispatch,
+            # only cli.train defines --checkpoint_every_steps: the one
+            # getattr that is load-bearing (eval/serve/dump CLIs share
+            # this builder)
             checkpoint_every_steps=getattr(args, "checkpoint_every_steps",
                                            0),
             pack_clips=not args.no_pack_clips,

@@ -78,7 +78,9 @@ class ModelConfig:
     temperature: float = 0.5       # gumbel-softmax tau
     lambda_: float = 0.5           # re-simulation loss weight
     label_smoothing: float = 0.1
-    use_asl: bool = True           # asymmetric loss for actions (else BCE)
+    use_asl: bool = True           # asymmetric loss for actions (else BCE
+                                   # sum — the reference advertises this
+                                   # ablation but hardcodes ASL)
 
     # numerics: "float32" reproduces the reference token-for-token;
     # "bfloat16" is the fast TPU path (matmuls in bf16, softmax/LN in f32)

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import json
 import re
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from svpc_tpu.evaluation.bleu import compute_bleu
 from svpc_tpu.evaluation.caption_stats import caption_stats
@@ -30,9 +30,13 @@ def parse_sent(sent: str) -> List[str]:
 
 
 def _ensure_caption_key(data: Dict) -> Dict:
-    if data and not str(next(iter(data))).startswith("v_"):
-        return {"v_" + k: v for k, v in data.items()}
-    return data
+    """'v_'-prefix ids PER KEY.  The reference decides from the first key
+    only (para-evaluate.py:67-68), so a legal YouTube id that itself
+    starts with 'v_' would flip the whole dict's keying and silently zero
+    every language score; per-key normalization keeps predictions and
+    references consistent whatever mix arrives."""
+    return {k if str(k).startswith("v_") else "v_" + str(k): v
+            for k, v in data.items()}
 
 
 def submission_to_paragraphs(results: Dict) -> Dict[str, str]:
@@ -84,7 +88,6 @@ def evaluate_language(results: Dict, reference_paragraphs,
 
 def evaluate_submission(
     submission: Dict, reference_para_path,
-    reference_anet_path: Optional[str] = None,
     include_meteor: bool = True,
 ) -> Dict:
     """Full metric bundle for one submission dict

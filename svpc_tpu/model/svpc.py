@@ -383,6 +383,15 @@ class SVPCModel(nn.Module):
     # full forward + losses
     # ------------------------------------------------------------------ #
 
+    def _action_loss(self, probs, targets, row_mask):
+        """Action supervision: ASL by default (the reference hardcodes
+        AsymmetricLoss at model.py:872 despite advertising
+        --use_asl bce at train.py:512); use_asl=False makes the
+        advertised BCE ablation real (same sum reduction + row masking)."""
+        if self.cfg.use_asl:
+            return asymmetric_loss_sum(probs, targets, row_mask)
+        return bce_sum(probs, targets, row_mask[..., None])
+
     def __call__(self, batch, deterministic: bool = True,
                  return_memory: bool = False) -> ModelOutputs:
         cfg = self.cfg
@@ -421,7 +430,7 @@ class SVPCModel(nn.Module):
 
         # caption loss — only over C_actual columns; rows from padded steps
         # carry IGNORE labels already (data pipeline)
-        flat_probs = probs.reshape(B, S * T, -1).reshape(-1, probs.shape[-1])
+        flat_probs = probs.reshape(-1, probs.shape[-1])
         flat_labels = labels.reshape(-1)
         flat_ext = jnp.repeat(ext_size, S * T, total_repeat_length=B * S * T)
         caption_loss = label_smoothing_kl(
@@ -437,7 +446,7 @@ class SVPCModel(nn.Module):
             sup_mask = (batch["step_mask"][..., None]
                         * batch["entity_mask"][:, None, :])
             entity_loss = bce_sum(r.ent_probs, batch["alignment"], sup_mask)
-            action_loss = asymmetric_loss_sum(
+            action_loss = self._action_loss(
                 r.ac_probs, batch["action"], batch["action_row_mask"])
             ent_probs, ac_probs = r.ent_probs, r.ac_probs
             if return_memory:
@@ -453,7 +462,7 @@ class SVPCModel(nn.Module):
             sup_mask = (batch["step_mask"][..., None]
                         * batch["entity_mask"][:, None, :])
             re_entity_loss = bce_sum(re.ent_probs, batch["alignment"], sup_mask)
-            re_action_loss = asymmetric_loss_sum(
+            re_action_loss = self._action_loss(
                 re.ac_probs, batch["action"], batch["action_row_mask"])
             re_ent_probs, re_ac_probs = re.ent_probs, re.ac_probs
             if return_memory:

@@ -609,6 +609,10 @@ def train(cfg: Config, workdir: str,
                         save_last(state, epoch - 1, epoch_steps, epoch)
                 if max_steps_per_epoch and epoch_steps >= max_steps_per_epoch:
                     break
+            # a break leaves the generator suspended with its producer
+            # thread still prefetching (and holding device batches) through
+            # the whole eval/checkpoint tail — close it deterministically
+            batch_iter.close()
             if acc_grads is not None:
                 # flush a partial accumulation group at epoch end — keep
                 # its guard metrics too

@@ -97,3 +97,47 @@ def test_gumbel_st_matches_torch_with_same_noise():
     arr = np.asarray(out)
     assert np.allclose(arr.sum(-1), 1.0, atol=1e-5)
     assert ((arr == arr.max(-1, keepdims=True)).sum(-1) == 1).all()
+
+
+def test_use_asl_false_selects_bce_action_loss():
+    """--use_asl bce must actually change the action supervision (the
+    reference advertises the choice at train.py:512 but hardcodes
+    AsymmetricLoss at model.py:872; here the ablation is real).  With
+    identical params/batch the entity+caption losses are unchanged and
+    the action losses equal bce_sum over the same probs/targets/mask."""
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.data.pipeline import batch_examples
+    from svpc_tpu.model import SVPCModel
+    from svpc_tpu.ops.losses import asymmetric_loss_sum, bce_sum
+
+    names, feat_dir, dur_file = rb.setup_features(2)
+    cfg, ds = rb.build_ours("reason_copy", feat_dir, dur_file)
+    batch = {k: jnp.asarray(v)
+             for k, v in batch_examples([ds[0], ds[1]]).items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+
+    asl_model = SVPCModel(cfg.model)
+    params = asl_model.init(rngs, batch, deterministic=True)
+    bce_model = SVPCModel(cfg.replace_model(use_asl=False).model)
+
+    out_asl = asl_model.apply(params, batch, deterministic=True)
+    out_bce = bce_model.apply(params, batch, deterministic=True)
+
+    # non-action losses identical (same params, same forward)
+    np.testing.assert_allclose(float(out_asl.caption_loss),
+                               float(out_bce.caption_loss), rtol=1e-6)
+    np.testing.assert_allclose(float(out_asl.entity_loss),
+                               float(out_bce.entity_loss), rtol=1e-6)
+    # action losses follow the configured criterion exactly
+    probs, targets = out_asl.ac_probs, batch["action"]
+    row_mask = batch["action_row_mask"]
+    np.testing.assert_allclose(
+        float(out_asl.action_loss),
+        float(asymmetric_loss_sum(probs, targets, row_mask)), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(out_bce.action_loss),
+        float(bce_sum(probs, targets, row_mask[..., None])), rtol=1e-6)
+    assert float(out_asl.action_loss) != float(out_bce.action_loss)
