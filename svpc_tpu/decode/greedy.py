@@ -11,8 +11,6 @@ extended-id buffer and fed back as UNK, position 0 forced to [BOS]).
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +21,7 @@ from svpc_tpu.config import ModelConfig
 NEG = -1e10
 
 
-def greedy_decode(model, params, batch, rngs=None,
+def greedy_decode(model, params, batch,
                   use_cache: bool = True) -> jnp.ndarray:
     """Returns extended token ids (B, S, T): [BOS], then argmax tokens.
 
@@ -59,7 +57,7 @@ def greedy_decode(model, params, batch, rngs=None,
     text_mask0 = jnp.zeros((B, S, T), jnp.float32)
     next0 = jnp.full((B, S), tok.BOS, jnp.int32)
 
-    def argmax_step(cur, next_sym):
+    def argmax_step(cur):
         cur = jnp.where(col_ok[:, None, :], cur, NEG)   # (B, S, C)
         nw = jnp.argmax(cur, axis=-1).astype(jnp.int32)  # (B, S)
         return jnp.where(nw >= V, tok.UNK, nw), nw       # (feed, extended)
@@ -77,7 +75,7 @@ def greedy_decode(model, params, batch, rngs=None,
             cur, caches = model.apply(
                 params, head_batch, state, next_sym, t, caches,
                 method=type(model).score_position_cached)
-            new_next, new_oov = argmax_step(cur, next_sym)
+            new_next, new_oov = argmax_step(cur)
             return (text_ids, ext_ids, new_next, new_oov, caches), None
 
         carry0 = (text_ids0, ext_ids0, next0, next0, caches0)
@@ -95,7 +93,7 @@ def greedy_decode(model, params, batch, rngs=None,
 
             cur = model.apply(params, head_batch, state, text_ids,
                               text_mask, t, method=type(model).score_position)
-            new_next, new_oov = argmax_step(cur, next_sym)
+            new_next, new_oov = argmax_step(cur)
             return (text_ids, ext_ids, text_mask, new_next, new_oov), None
 
         carry0 = (text_ids0, ext_ids0, text_mask0, next0, next0)

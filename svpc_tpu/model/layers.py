@@ -9,7 +9,7 @@ exactly (model.py:194) for token-level parity with the reference.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,11 +38,15 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # flax LayerNorm matches the reference formula (biased variance,
-        # epsilon inside rsqrt); compute in f32 for stability.
+        # two-pass biased variance E[(x-u)^2] exactly like the reference
+        # (and torch.var(unbiased=False)); flax's default
+        # use_fast_variance=True computes E[x^2]-E[x]^2 instead, which
+        # cancels catastrophically when |mean| >> std — a latent
+        # token-flip risk on the greedy parity path.
         orig_dtype = x.dtype
         out = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps,
-                           dtype=jnp.float32, name="ln")(x)
+                           dtype=jnp.float32, use_fast_variance=False,
+                           name="ln")(x)
         return out.astype(orig_dtype)
 
 
@@ -159,17 +163,11 @@ class Intermediate(nn.Module):
         return erf_gelu(h)
 
 
-class OutputBlock(nn.Module):
-    """dense → dropout → LN(x + input) (reference BertOutput, model.py:278-289)."""
-    cfg: ModelConfig
-
-    @nn.compact
-    def __call__(self, hidden, residual, deterministic=True):
-        cfg = self.cfg
-        h = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg),
-                     dtype=hidden.dtype, name="dense")(hidden)
-        h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
-        return LayerNorm(cfg, name="layer_norm")(h + residual)
+# The reference's BertOutput (model.py:278-289) is the same dense→dropout→
+# LN(x+residual) shape as BertSelfOutput — flax Dense infers the input dim,
+# so one module serves both; param paths come from the instance `name=`,
+# so checkpoint layout is unchanged.
+OutputBlock = SelfOutput
 
 
 class EncoderLayer(nn.Module):

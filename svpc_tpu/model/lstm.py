@@ -13,7 +13,6 @@ backward direction, where padding precedes real steps in scan order.
 from __future__ import annotations
 
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
