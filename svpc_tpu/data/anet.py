@@ -107,6 +107,11 @@ def timestamp_to_feature_span(
     st = int(math.floor(timestamp[0] / frm2sec))
     ed = int(math.ceil(timestamp[1] / frm2sec))
     ed = min(ed, feat_len - 1)
-    st = min(st, ed - 1)
-    assert st <= ed <= feat_len, f"st {st} <= ed {ed} <= feat_len {feat_len}"
+    # the reference's min(st, ed-1) quirk makes st = -1 whenever ed == 0
+    # (a [0, 0] serving timestamp, or a 1-row uploaded feature file) —
+    # row -1 is an out-of-bounds read in the native packer.  Annotated
+    # splits never produce ed == 0, so the >=0 clamp is parity-neutral.
+    st = max(min(st, ed - 1), 0)
+    assert 0 <= st <= ed <= feat_len, \
+        f"0 <= st {st} <= ed {ed} <= feat_len {feat_len}"
     return st, ed

@@ -214,8 +214,10 @@ def export_state_dict(flax_params, model_mode: str, n_layers: int,
     state dict from flax params, so checkpoints trained here run under the
     reference's test.py / dump_memories.py / translator unchanged.
 
-    ``action_embeddings`` is emitted under its ``nn.Embedding`` name
-    (``...action_embeddings.weight``, reference model.py:760).  When the
+    ``action_embeddings`` is emitted under its BARE Parameter name
+    (``...action_embeddings``, no ``.weight`` suffix) — reference
+    checkpoints of record store it GloVe-injected as a raw Parameter, not
+    as nn.Embedding (see the comment at the emit site below).  When the
     params were trained tp-padded (vocab_pad_multiple > 1) pass
     vocab_size/padded_vocab_size so padding rows/columns are sliced off."""
     mapping = build_mapping(model_mode, n_layers)

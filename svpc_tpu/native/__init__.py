@@ -57,6 +57,7 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
             ctypes.c_double, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64,  # expected_d: caller buffer row width
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64,
         ]
@@ -87,18 +88,29 @@ def pack_video_native(resnet_path: str, bn_path: str, timestamps,
         ts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ctypes.c_int64(n_clips), ctypes.c_double(frm2sec),
         ctypes.c_int64(max_v_len), ctypes.c_int64(total_len),
+        ctypes.c_int64(feature_size),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         valid.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.c_int64(n_threads))
+    _raise_pack_error(rc, resnet_path, total_len, feature_size)
+    if rc != 0:
+        return None
+    return out, valid
+
+
+def _raise_pack_error(rc: int, resnet_path: str, total_len: int,
+                      feature_size: int) -> None:
     if rc == -3:
         raise ValueError(
             f"{resnet_path}: clip span exceeds the buffer's "
             f"total_len={total_len} — feature file replaced on disk after "
             f"valid lengths were computed?  Re-validate via "
             f"FeatureStore.invalidate()")
-    if rc != 0:
-        return None
-    return out, valid
+    if rc == -4:
+        raise ValueError(
+            f"{resnet_path}: resnet+bn feature dims on disk do not sum to "
+            f"the model's video_feature_size={feature_size} — wrong "
+            f"dataset's features, or a file replaced after validation")
 
 
 def mmap_cache_clear() -> None:
@@ -146,15 +158,11 @@ def pack_video_into(resnet_path: str, bn_path: str, timestamps,
         ts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ctypes.c_int64(n_clips), ctypes.c_double(frm2sec),
         ctypes.c_int64(max_v_len), ctypes.c_int64(total_len),
+        ctypes.c_int64(feature_size),
         ctypes.cast(base, ctypes.POINTER(ctypes.c_float)),
         valid.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.c_int64(n_threads))
-    if rc == -3:
-        raise ValueError(
-            f"{resnet_path}: clip span exceeds the buffer's "
-            f"total_len={total_len} — feature file replaced on disk after "
-            f"valid lengths were computed?  Re-validate via "
-            f"FeatureStore.invalidate()")
+    _raise_pack_error(rc, resnet_path, total_len, feature_size)
     if rc != 0:
         return None
     return valid

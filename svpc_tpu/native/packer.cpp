@@ -146,6 +146,12 @@ NpyArray open_npy(const char* path) {
         | (static_cast<size_t>(p[11]) << 24);
     header_off = 12;
   }
+  if (header_off + header_len > static_cast<size_t>(st.st_size)) {
+    // corrupt header-length field: constructing the header string (or
+    // reading data at the claimed offset) would run past the mapping
+    ::munmap(base, st.st_size);
+    return out;
+  }
   std::string header(reinterpret_cast<const char*>(p + header_off), header_len);
   const bool is_f4 = header.find("'<f4'") != std::string::npos;
   const bool is_f2 = header.find("'<f2'") != std::string::npos;
@@ -161,7 +167,17 @@ NpyArray open_npy(const char* path) {
   out.rows = std::strtoll(header.c_str() + sh, nullptr, 10);
   size_t comma = header.find(',', sh);
   out.cols = std::strtoll(header.c_str() + comma + 1, nullptr, 10);
-  if (out.cols <= 0) { ::munmap(base, st.st_size); return out; }
+  if (out.rows <= 0 || out.cols <= 0) { ::munmap(base, st.st_size); return out; }
+  const size_t itemsize = is_f2 ? 2 : 4;
+  const size_t need = static_cast<size_t>(out.rows)
+      * static_cast<size_t>(out.cols) * itemsize;
+  if (static_cast<size_t>(st.st_size) - header_off - header_len < need) {
+    // truncated file (e.g. an interrupted convert_features run): reading
+    // late rows would SIGBUS past the mapping — fail cleanly instead,
+    // like np.load's ValueError on the same file
+    ::munmap(base, st.st_size);
+    return out;
+  }
   out.map_base = base;
   out.map_len = st.st_size;
   out.data = p + header_off + header_len;
@@ -239,7 +255,12 @@ inline void span_from_timestamp(double st_sec, double ed_sec, double frm2sec,
   *st = static_cast<int64_t>(std::floor(st_sec / frm2sec));
   *ed = static_cast<int64_t>(std::ceil(ed_sec / frm2sec));
   *ed = std::min(*ed, feat_len - 1);
-  *st = std::min(*st, *ed - 1);
+  // >=0 clamps mirror data/anet.py: the reference's min(st, ed-1) quirk
+  // makes st = -1 when ed == 0 (a [0, 0] serving timestamp or a 1-row
+  // feature file) — row -1 would be an out-of-bounds read here.
+  // Annotated splits never produce ed <= 0, so this is parity-neutral.
+  *ed = std::max<int64_t>(*ed, 0);
+  *st = std::max<int64_t>(std::min(*st, *ed - 1), 0);
 }
 
 }  // namespace
@@ -253,11 +274,14 @@ extern "C" {
 //   valid_lens : (n_clips,) int64 — number of [VID] rows written per clip.
 //
 // Returns 0 on success, negative error code otherwise.
+//   expected_d : the caller's buffer row width — the files' summed cols
+//                must equal it exactly (error -4), or a wrong-dimension
+//                feature file would stride writes past the buffer.
 int svpc_pack_video(const char* resnet_path, const char* bn_path,
                     const double* timestamps,  // (n_clips, 2)
                     int64_t n_clips, double frm2sec, int64_t max_v_len,
-                    int64_t total_len, float* out, int64_t* valid_lens,
-                    int64_t n_threads) {
+                    int64_t total_len, int64_t expected_d, float* out,
+                    int64_t* valid_lens, int64_t n_threads) {
   auto [resnet, own_r] = acquire_npy(resnet_path);
   auto [bn, own_b] = acquire_npy(bn_path);
   auto release = [&]() {
@@ -271,6 +295,10 @@ int svpc_pack_video(const char* resnet_path, const char* bn_path,
   if (resnet.rows != bn.rows) {
     release();
     return -2;
+  }
+  if (resnet.cols + bn.cols != expected_d) {
+    release();
+    return -4;
   }
   const int64_t feat_len = resnet.rows;
   const int64_t d_r = resnet.cols, d_b = bn.cols, d = d_r + d_b;
@@ -359,12 +387,35 @@ void svpc_mmap_cache_enable(int on) {
 }
 
 // Probe a video's feature length without loading data (for fix_missing /
-// sanity checks).  Returns rows, or -1 if unreadable.
+// sanity checks).  Returns rows, or -1 if unreadable.  Header-only pread
+// — open_npy's MAP_POPULATE would prefault the whole file (GBs of IO)
+// just to read a ~100-byte header.
 int64_t svpc_npy_rows(const char* path) {
-  NpyArray a = open_npy(path);
-  const int64_t rows = a.ok ? a.rows : -1;
-  close_npy(a);
-  return rows;
+  int fd = ::open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  unsigned char pre[12];
+  if (::pread(fd, pre, 12, 0) != 12 || memcmp(pre, "\x93NUMPY", 6) != 0) {
+    ::close(fd);
+    return -1;
+  }
+  size_t header_len, header_off;
+  if (pre[6] == 1) {
+    header_len = pre[8] | (pre[9] << 8);
+    header_off = 10;
+  } else {
+    header_len = pre[8] | (pre[9] << 8) | (pre[10] << 16)
+        | (static_cast<size_t>(pre[11]) << 24);
+    header_off = 12;
+  }
+  if (header_len == 0 || header_len > (1u << 20)) { ::close(fd); return -1; }
+  std::string header(header_len, '\0');
+  const ssize_t got = ::pread(fd, header.data(), header_len, header_off);
+  ::close(fd);
+  if (got != static_cast<ssize_t>(header_len)) return -1;
+  size_t sh = header.find("'shape': (");
+  if (sh == std::string::npos) return -1;
+  const int64_t rows = std::strtoll(header.c_str() + sh + 10, nullptr, 10);
+  return rows > 0 ? rows : -1;
 }
 
 }  // extern "C"

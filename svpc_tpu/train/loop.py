@@ -173,7 +173,8 @@ def restore_train_state(cfg: Config, sample_batch, checkpoint_path: str):
     import functools
     from svpc_tpu.train.state import load_checkpoint
     model, params = init_model(cfg, sample_batch, abstract=True)
-    tx = make_optimizer(cfg.train, 1)
+    tx = make_optimizer(cfg.train, 1, model_mode=cfg.model.model_mode,
+                        n_layers=cfg.model.num_hidden_layers)
     state = jax.eval_shape(functools.partial(
         TrainState.create, tx=tx, use_ema=cfg.train.ema_decay > 0,
         ema_dtype=cfg.train.optimizer_dtype), params)
@@ -344,7 +345,9 @@ def train(cfg: Config, workdir: str,
     steps_per_epoch = math.ceil(len(train_ds) / cfg.train.batch_size)
     # the LR schedule counts OPTIMIZER steps, of which accumulation takes
     # one per `accum` host batches
-    tx = make_optimizer(cfg.train, math.ceil(steps_per_epoch / accum))
+    tx = make_optimizer(cfg.train, math.ceil(steps_per_epoch / accum),
+                        model_mode=cfg.model.model_mode,
+                        n_layers=cfg.model.num_hidden_layers)
     state = TrainState.create(params, tx, use_ema=cfg.train.ema_decay > 0,
                               ema_dtype=cfg.train.optimizer_dtype)
     start_epoch = 0

@@ -40,6 +40,11 @@ from svpc_tpu.config import TrainConfig
 def lr_schedule_fn(schedule: str, warmup: float, t_total: int) -> Callable:
     """Multiplier as a function of step (reference optimization.py:53-180)."""
     warmup = max(warmup, 0.0)
+    if warmup >= 1.0:
+        # warmup_linear's (warmup - 1) denominator would be 0 -> NaN LR
+        # at the final step; the reference raises the same way
+        # (optimization.py's _LRSchedule validates 0 <= warmup < 1)
+        raise ValueError(f"warmup proportion must be in [0, 1), got {warmup}")
 
     def mult(step):
         if t_total < 0:
@@ -70,10 +75,11 @@ class BertAdamState(NamedTuple):
 
 
 def _decay_mask(params) -> Any:
-    """True where weight decay applies.  Reference excludes parameters
-    whose torch name contains 'bias' or 'LayerNorm.weight'
-    (train.py:339-343); in our tree those are exactly the leaves named
-    'bias' and the layernorm 'scale' leaves."""
+    """Flax-name decay heuristic (True where weight decay applies):
+    exempt leaves named 'bias' or 'scale'.  Used for trees with no torch
+    counterpart; model training uses reference_decay_mask_fn, which
+    reproduces the reference grouping exactly — the two differ on the
+    reference's quirks (see below)."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def leaf_decays(path) -> bool:
@@ -89,6 +95,40 @@ def _decay_mask(params) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def reference_decay_mask_fn(model_mode: str, n_layers: int):
+    """Decay mask matching the reference BertAdam grouping EXACTLY
+    (train.py:339-343): no decay iff the parameter's TORCH name contains
+    'bias' or 'LayerNorm.weight'.  Resolved through the checkpoint-interop
+    name mapping because the rule keys on torch attribute names with
+    quirks a flax leaf name cannot see: the word_fc Sequential LN weights
+    ('word_fc.0.weight') and the decoder 'norm1/norm2.weight' ARE decayed
+    by the reference, while LSTM biases ('bias_ih_l0') are NOT."""
+    from svpc_tpu.model.import_torch import build_mapping
+    torch_names = {f: t for f, (t, _)
+                   in build_mapping(model_mode, n_layers).items()}
+
+    def mask(params):
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        leaves = []
+        for path, _ in flat:
+            keys = [p.key for p in path if hasattr(p, "key")]
+            if keys and keys[0] == "params":
+                keys = keys[1:]
+            t = torch_names.get("/".join(str(k) for k in keys))
+            if t is None:
+                # outside the interop mapping (no torch counterpart):
+                # fall back to the flax-name heuristic
+                leaves.append(keys[-1] not in ("bias", "scale")
+                              if keys else True)
+            else:
+                leaves.append("bias" not in t
+                              and "LayerNorm.weight" not in t)
+        treedef = jax.tree_util.tree_structure(params)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    return mask
+
+
 def bert_adam(
     lr: float,
     schedule: str = "warmup_linear",
@@ -100,14 +140,18 @@ def bert_adam(
     weight_decay: float = 0.01,
     max_grad_norm: float = 1.0,
     state_dtype: Optional[str] = None,
+    decay_mask_fn=None,
 ) -> optax.GradientTransformation:
     """``state_dtype="bfloat16"`` stores the carried moments rounded
     (halving their HBM traffic — the optimizer slice is HBM-roofline at
     this geometry); all moment math runs in float32 regardless.  None/
     "float32" is the bit-exact reference trajectory (tests/test_optim.py).
-    """
+
+    ``decay_mask_fn(params) -> bool pytree`` overrides the weight-decay
+    leaf selection (model training passes reference_decay_mask_fn)."""
     sched = lr_schedule_fn(schedule, warmup, t_total)
     sdt = (jnp.bfloat16 if state_dtype == "bfloat16" else None)
+    mask_fn = decay_mask_fn or _decay_mask
 
     def init_fn(params):
         def z(p):
@@ -118,7 +162,7 @@ def bert_adam(
 
     def update_fn(grads, state, params):
         assert params is not None
-        decay_mask = _decay_mask(params)
+        decay_mask = mask_fn(params)
 
         def clip(g):
             if max_grad_norm <= 0:
@@ -165,9 +209,15 @@ def _is_glove_path(path) -> bool:
     return any(keys[-len(t):] == t for t in GLOVE_TABLE_PATHS)
 
 
-def make_optimizer(cfg: TrainConfig, steps_per_epoch: int
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int,
+                   model_mode: str = "", n_layers: int = 0
                    ) -> optax.GradientTransformation:
     """Global clip (train.py:141-142) then BertAdam.
+
+    Passing ``model_mode``/``n_layers`` selects the reference-exact
+    weight-decay grouping via the torch-name mapping
+    (reference_decay_mask_fn); without them the flax-name heuristic is
+    used (fine for non-model trees in tests).
 
     ``freeze_glove`` zeroes updates to the GloVe-initialized tables
     (word / ingredient / verb embeddings) — the reference's
@@ -180,7 +230,9 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int
         lr=cfg.lr, schedule=cfg.lr_schedule, warmup=cfg.lr_warmup_proportion,
         t_total=t_total, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
         weight_decay=cfg.weight_decay,
-        state_dtype=getattr(cfg, "optimizer_dtype", None)))
+        state_dtype=getattr(cfg, "optimizer_dtype", None),
+        decay_mask_fn=(reference_decay_mask_fn(model_mode, n_layers)
+                       if model_mode else None)))
     if cfg.freeze_glove:
         def zero_frozen(updates, state, params=None):
             del params

@@ -220,3 +220,52 @@ def test_bf16_ema_shadow_and_eval_params():
     for a, b in zip(jax.tree.leaves(state2.params),
                     jax.tree.leaves(state3.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_reference_decay_mask_matches_reference_grouping():
+    """Weight decay must select exactly the reference's parameter groups
+    (train.py:339-343: no decay iff the TORCH name contains 'bias' or
+    'LayerNorm.weight').  The rule has quirks a flax leaf name can't see:
+    word_fc Sequential LN weights ('word_fc.0.weight') and decoder
+    norm1/norm2 weights ARE decayed, LSTM biases ('bias_ih_l0') are NOT."""
+    import numpy as np
+    from svpc_tpu.model.import_torch import build_mapping
+    from svpc_tpu.train.optim import reference_decay_mask_fn
+
+    mapping = build_mapping("full", 2)
+    tree = {}
+    for f_key in mapping:
+        d = tree
+        parts = f_key.split("/")
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = np.zeros(())
+    params = {"params": tree}
+    mask = reference_decay_mask_fn("full", 2)(params)["params"]
+
+    def get(path):
+        d = mask
+        for p in path.split("/"):
+            d = d[p]
+        return d
+
+    # every leaf follows the torch-name rule
+    for f_key, (t_key, _) in mapping.items():
+        want = "bias" not in t_key and "LayerNorm.weight" not in t_key
+        assert get(f_key) == want, (f_key, t_key)
+
+    # the quirks the flax-name heuristic gets wrong:
+    assert get("text_embeddings/word_fc/ln_in/ln/scale") is True
+    assert get("decoder/layer_0/norm1/ln/scale") is True
+    assert get("encoder/layer_0/output/layer_norm/ln/scale") is False
+    assert get("recipe_encoder/b_ih_fwd") is False
+    assert get("decoder_classifier/transform/layer_norm/ln/scale") is False
+
+
+def test_warmup_proportion_validated():
+    import pytest
+    from svpc_tpu.train.optim import lr_schedule_fn
+
+    with pytest.raises(ValueError, match="warmup"):
+        lr_schedule_fn("warmup_linear", 1.0, 100)
+    lr_schedule_fn("warmup_linear", 0.999, 100)  # in-range is fine
