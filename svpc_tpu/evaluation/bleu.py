@@ -49,7 +49,10 @@ def _cook_test(test: str, reflen_counts, n: int = 4):
 def compute_bleu(gts: Dict, res: Dict, n: int = 4
                  ) -> Tuple[List[float], List[List[float]]]:
     """gts: {id: [ref strings]}, res: {id: [hyp string]}.
-    Returns (corpus scores [BLEU1..4], per-id scores)."""
+    Returns (corpus scores [BLEU1..4], per-id scores).
+
+    Per-id scores are ordered by ``sorted(gts, key=str)`` — see the
+    compute_meteor docstring for the int-id alignment caveat."""
     small = 1e-9
     tiny = 1e-15
 

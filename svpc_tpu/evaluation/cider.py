@@ -12,18 +12,19 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
+from svpc_tpu.evaluation.bleu import _precook as _bleu_precook
+
 
 def _precook(s: str, n: int = 4):
-    words = s.split()
-    counts: Dict[tuple, int] = defaultdict(int)
-    for k in range(1, n + 1):
-        for i in range(len(words) - k + 1):
-            counts[tuple(words[i:i + k])] += 1
-    return counts
+    # shared n-gram counting with bleu.py (one source of truth); CIDEr
+    # only needs the counts
+    return _bleu_precook(s, n)[1]
 
 
 def compute_cider_d(gts: Dict, res: Dict, n: int = 4, sigma: float = 6.0
                     ) -> Tuple[float, List[float]]:
+    """Per-id scores are ordered by ``sorted(gts, key=str)`` — see the
+    compute_meteor docstring for the int-id alignment caveat."""
     ids = sorted(gts.keys(), key=str)
     crefs = [[_precook(r) for r in gts[i]] for i in ids]
     ctest = [_precook(res[i][0]) for i in ids]

@@ -37,50 +37,66 @@ def evaluate_dense_captions(
     references: {vid: {"timestamps": [[s,e]...], "sentences": [...]}}
     Returns Bleu_4 / ROUGE_L / CIDEr averaged over tIoU thresholds, plus
     average recall/precision of the localization matching.
+
+    Aggregation follows the reference evaluator's SHAPE (evaluate.py:
+    236-252): sentence metrics are computed PER GT VIDEO over its matched
+    pairs and averaged over ALL GT videos, scoring 0 for videos with no
+    valid pairs.  Two deliberate deviations from the shipped reference,
+    whose evaluate_tiou is self-admittedly broken: its `if True or ...`
+    (evaluate.py:194) bypasses the tIoU test entirely and pairs
+    prediction i with GT sentence i ("for now we use gt proposal"), and
+    unmatched predictions are scored against a literal 'abc123!@#'
+    garbage reference (evaluate.py:206-210).  Here the tIoU matching is
+    real and unmatched predictions simply contribute no pair (they still
+    lower Precision).
     """
     out: Dict[str, float] = {}
     per_t_scores = []
     recalls, precisions = [], []
     for t in tiou_thresholds:
-        gts, res = {}, {}
-        idx = 0
         vid_recalls, vid_precisions = [], []
+        vid_metrics = []  # per GT video: {"Bleu_4", "ROUGE_L", "CIDEr"}
         # reference semantics (evaluate.py:126-157): iterate ALL ground
         # truth videos — a GT video with no predictions scores 0 recall
         # and 0 precision; tIoU comparison is strictly greater-than.
-        # recall = covered GT segments / GT count, precision = covered
-        # predictions / prediction count, each per video then averaged —
-        # a pile of predictions on one GT segment cannot inflate recall.
+        # recall = covered GT segments / GT TIMESTAMP count
+        # (evaluate.py:153), precision = covered predictions / prediction
+        # count, each per video then averaged — a pile of predictions on
+        # one GT segment cannot inflate recall.
         for vid, ref in references.items():
             preds = predictions.get(vid, [])
             gt_covered: set = set()
             pred_covered = 0
+            gts, res = {}, {}
             for p in preds:
                 matches = []
-                for ri, (ts, s) in enumerate(zip(ref["timestamps"],
-                                                 ref["sentences"])):
-                    if tiou(p["timestamp"], ts) > t:
+                for ri, ts in enumerate(ref["timestamps"]):
+                    if ri < len(ref["sentences"]) \
+                            and tiou(p["timestamp"], ts) > t:
                         gt_covered.add(ri)
-                        matches.append(s)
+                        matches.append(ref["sentences"][ri])
                 if matches:
                     pred_covered += 1
+                    idx = len(res)
                     gts[idx] = [" ".join(parse_sent(m)) for m in matches]
                     res[idx] = [" ".join(parse_sent(p["sentence"]))]
-                    idx += 1
-            if ref["sentences"]:
-                vid_recalls.append(len(gt_covered) / len(ref["sentences"]))
+            if ref["timestamps"]:
+                vid_recalls.append(len(gt_covered) / len(ref["timestamps"]))
             vid_precisions.append(pred_covered / len(preds) if preds
                                   else 0.0)
-        if not gts:
-            per_t_scores.append({"Bleu_4": 0.0, "ROUGE_L": 0.0, "CIDEr": 0.0})
-            recalls.append(0.0)
-            precisions.append(0.0)
-            continue
-        bleu, _ = compute_bleu(gts, res)
-        rouge, _ = compute_rouge_l(gts, res)
-        cider, _ = compute_cider_d(gts, res)
-        per_t_scores.append(
-            {"Bleu_4": bleu[3], "ROUGE_L": rouge, "CIDEr": cider})
+            if res:
+                bleu, _ = compute_bleu(gts, res)
+                rouge, _ = compute_rouge_l(gts, res)
+                cider, _ = compute_cider_d(gts, res)
+                vid_metrics.append({"Bleu_4": bleu[3], "ROUGE_L": rouge,
+                                    "CIDEr": cider})
+            else:  # no valid pairs: the reference scores the video 0
+                vid_metrics.append(
+                    {"Bleu_4": 0.0, "ROUGE_L": 0.0, "CIDEr": 0.0})
+        per_t_scores.append({
+            key: float(np.mean([m[key] for m in vid_metrics]))
+            if vid_metrics else 0.0
+            for key in ("Bleu_4", "ROUGE_L", "CIDEr")})
         recalls.append(float(np.mean(vid_recalls)) if vid_recalls else 0.0)
         precisions.append(
             float(np.mean(vid_precisions)) if vid_precisions else 0.0)
@@ -97,8 +113,12 @@ def evaluate_dense_captions(
 
 def merge_dicts_by_prefix(paths_and_prefixes: Sequence[Tuple[str, str]],
                           out_path: str) -> dict:
-    """Merge metric JSON files, prefixing keys (equivalent of the
-    reference's densevid_eval/merge_dicts_by_prefix.py)."""
+    """Merge metric JSON files into one, namespacing each file's keys
+    with its prefix.  Covers the use case of the reference's
+    densevid_eval/merge_dicts_by_prefix.py (glob files -> one JSON) but
+    is NOT key-compatible with it: the reference dict.update()s files
+    together un-prefixed (later file wins on collisions) — here
+    colliding keys from different files survive side by side."""
     import json
     merged = {}
     for path, prefix in paths_and_prefixes:

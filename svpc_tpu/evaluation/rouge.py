@@ -39,6 +39,10 @@ def calc_score(candidate: List[str], refs: List[str],
 
 
 def compute_rouge_l(gts: Dict, res: Dict) -> Tuple[float, List[float]]:
+    """Per-id scores are ordered by ``sorted(gts, key=str)`` — see the
+    compute_meteor docstring for the int-id alignment caveat."""
     ids = sorted(gts.keys(), key=str)
+    if not ids:  # empty eval degrades like the sibling scorers
+        return 0.0, []
     scores = [calc_score(res[i], gts[i]) for i in ids]
     return sum(scores) / len(scores), scores
