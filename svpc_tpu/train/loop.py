@@ -721,8 +721,17 @@ def train(cfg: Config, workdir: str,
             with open(hist_path, "w") as f:
                 json.dump(history, f, indent=2)
             if cfg.train.save_mode == "all":
+                # reference naming: metrics in the filename
+                # (train.py:424-427, model_e{e}_b{b}_m{m}_c{c}_r{r}.chkpt);
+                # without language eval there are no metrics to embed
+                tag = f"checkpoint_e{epoch}"
+                if lang:
+                    tag += (f"_b{round(100 * lang.get('Bleu_4', 0), 2)}"
+                            f"_m{round(100 * lang.get('METEOR', 0), 2)}"
+                            f"_c{round(100 * lang.get('CIDEr', 0), 2)}"
+                            f"_r{round(100 * lang.get('re4', 0), 2)}")
                 save_checkpoint(workdir, jax.device_get(state), cfg,
-                                name=f"checkpoint_e{epoch}")
+                                name=tag)
             elif best_score is None or score > best_score:
                 best_score = score
                 best_cider = lang.get("CIDEr", 0.0)

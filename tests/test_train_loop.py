@@ -74,6 +74,45 @@ def test_run_greedy_eval_packed_matches_dense():
     assert len(sub_packed["results"]) == len(ds)
 
 
+def test_save_mode_all_metric_tagged_checkpoints(tmp_path):
+    """save_mode=all mirrors the reference (train.py:423-427): one
+    checkpoint per epoch with the language metrics embedded in the name,
+    and NO early stopping (the es counter lives in the 'best' branch)."""
+    import glob
+    import re
+
+    names, feat_dir, dur_file = rb.setup_features(3)
+    cfg, _ = rb.build_ours("copy", feat_dir, dur_file)
+    cfg = cfg.replace_train(batch_size=2, val_batch_size=2, n_epoch=2,
+                            max_es_cnt=0, save_mode="all")
+    from svpc_tpu.train import loop as loop_mod
+    from svpc_tpu.data.pipeline import CaptionDataset
+
+    orig_init = CaptionDataset.__init__
+
+    def patched_init(self, c, split, **kw):
+        orig_init(self, c, "val", **kw)
+        self.split = split
+
+    CaptionDataset.__init__ = patched_init
+    try:
+        result = loop_mod.train(cfg, str(tmp_path), max_steps_per_epoch=2,
+                                eval_language=True, tensorboard=False)
+    finally:
+        CaptionDataset.__init__ = orig_init
+
+    # each checkpoint dir also gets a .cfg.json sidecar — keep the dirs
+    tagged = sorted(p for p in glob.glob(str(tmp_path / "checkpoint_e*"))
+                    if os.path.isdir(p))
+    assert len(tagged) == 2, tagged
+    pat = re.compile(r"checkpoint_e(\d+)_b[\d.-]+_m[\d.-]+_c[\d.-]+_r[\d.-]+$")
+    assert all(pat.search(p) for p in tagged), tagged
+    # max_es_cnt=0 would stop after one non-improving epoch under "best";
+    # under "all" both epochs must run
+    assert len(result["history"]) == 2
+    assert not os.path.exists(tmp_path / "checkpoint_best")
+
+
 def test_resume_same_workdir_preserves_logs_and_best(tmp_path):
     """Resume fixes: CSV rows stay unique per epoch, history is
     continuous, and the early-stop counter / best score survive."""
