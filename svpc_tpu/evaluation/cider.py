@@ -26,6 +26,8 @@ def compute_cider_d(gts: Dict, res: Dict, n: int = 4, sigma: float = 6.0
     """Per-id scores are ordered by ``sorted(gts, key=str)`` — see the
     compute_meteor docstring for the int-id alignment caveat."""
     ids = sorted(gts.keys(), key=str)
+    if not ids:  # empty eval degrades like bleu/rouge (0, not log(0) NaN)
+        return 0.0, []
     crefs = [[_precook(r) for r in gts[i]] for i in ids]
     ctest = [_precook(res[i][0]) for i in ids]
 

@@ -70,13 +70,21 @@ def evaluate_dense_captions(
             gts, res = {}, {}
             for p in preds:
                 matches = []
+                hit = False
                 for ri, ts in enumerate(ref["timestamps"]):
-                    if ri < len(ref["sentences"]) \
-                            and tiou(p["timestamp"], ts) > t:
+                    if tiou(p["timestamp"], ts) > t:
+                        # localization coverage is by tIoU alone
+                        # (evaluate.py:145-152) — a timestamp without a
+                        # paired sentence still counts as covered ...
+                        hit = True
                         gt_covered.add(ri)
-                        matches.append(ref["sentences"][ri])
-                if matches:
+                        if ri < len(ref["sentences"]):
+                            # ... but only sentence-bearing segments can
+                            # contribute a scoring pair
+                            matches.append(ref["sentences"][ri])
+                if hit:
                     pred_covered += 1
+                if matches:
                     idx = len(res)
                     gts[idx] = [" ".join(parse_sent(m)) for m in matches]
                     res[idx] = [" ".join(parse_sent(p["sentence"]))]

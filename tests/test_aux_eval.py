@@ -32,6 +32,35 @@ def test_dense_eval_perfect():
     np.testing.assert_allclose(out["Bleu_4"], 1.0, atol=1e-6)
 
 
+def test_dense_eval_coverage_counts_sentenceless_timestamps():
+    """Localization recall/precision are by tIoU alone (reference
+    evaluate.py:145-152); a GT timestamp with no paired sentence still
+    counts as covered and a prediction matching only it is still
+    precise — it just contributes no sentence-scoring pair."""
+    preds = {"v1": [
+        {"sentence": "add the salt to the hot pan", "timestamp": [0, 10]},
+        {"sentence": "stir the pot with a big spoon", "timestamp": [12, 20]},
+        {"sentence": "serve it hot on a clean plate", "timestamp": [30, 40]}]}
+    refs = {"v1": {"timestamps": [[0, 10], [12, 20], [30, 40]],
+                   "sentences": ["add the salt to the hot pan",
+                                 "stir the pot with a big spoon"]}}
+    out = evaluate_dense_captions(preds, refs)
+    assert out["Recall"] == 1.0 and out["Precision"] == 1.0
+    # the sentence metrics only see the two sentence-bearing pairs
+    np.testing.assert_allclose(out["Bleu_4"], 1.0, atol=1e-6)
+
+
+def test_scorers_agree_on_empty_eval():
+    """All three pure-python scorers return 0.0 (not NaN/raise) on an
+    empty eval, so callers can rely on one degradation contract."""
+    from svpc_tpu.evaluation.bleu import compute_bleu
+    from svpc_tpu.evaluation.cider import compute_cider_d
+    from svpc_tpu.evaluation.rouge import compute_rouge_l
+    assert compute_bleu({}, {}) == ([0.0] * 4, [[], [], [], []])
+    assert compute_cider_d({}, {}) == (0.0, [])
+    assert compute_rouge_l({}, {}) == (0.0, [])
+
+
 def test_diversity():
     preds = {"v1": [{"sentence": "add the salt"},
                     {"sentence": "add the salt"},
