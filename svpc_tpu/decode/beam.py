@@ -71,17 +71,25 @@ def beam_decode(model, params, batch, beam_size: int = 2,
     col_ok = (cols[None, :] < ext[:, None]) & (cols[None, :] != tok.UNK)
     col_ok = col_ok[:, None, None, :]                  # (B,1,1,C)
 
-    # replicate the batch K times along a beam axis folded into B:
-    # arrange as (B*K, S, ...) so score_position sees a normal batch
+    # replicate K times along a beam axis folded into B — but only what
+    # the scorer actually reads: head_probs consumes the four head keys
+    # (entity_mask/copy_ids/copy_weights/oov_count) and decode_hidden
+    # reads only ``state``.  Replicating the full dense batch would
+    # materialize K copies of the (B, S, Lv, D) video features in HBM
+    # that nothing downstream touches.
     def rep(x):
         return jnp.repeat(x, K, axis=0)
 
-    beam_batch = {k: rep(v) for k, v in head_batch.items()}
+    head_keys = ("entity_mask", "copy_ids", "copy_weights", "oov_count")
+    beam_batch = {k: rep(head_batch[k]) for k in head_keys
+                  if k in head_batch}
     beam_state = jax.tree.map(rep, state)
 
     text_ids0 = jnp.zeros((B, K, S, T), jnp.int32)
     ext_ids0 = jnp.zeros((B, K, S, T), jnp.int32)
-    mask0 = jnp.zeros((B, K, S, T), jnp.float32)
+    # the (B,K,S,T) attention-mask buffer is only consumed by the full
+    # re-run path; the cached path carries none
+    mask0 = None if use_cache else jnp.zeros((B, K, S, T), jnp.float32)
     scores0 = jnp.zeros((B, K, S), jnp.float32)
     # only beam 0 is live initially (all beams identical at t=0)
     scores0 = scores0.at[:, 1:, :].set(NEG)
@@ -89,9 +97,11 @@ def beam_decode(model, params, batch, beam_size: int = 2,
     finished0 = jnp.zeros((B, K, S), bool)
     lengths0 = jnp.zeros((B, K, S), jnp.float32)
 
-    caches0 = (model.apply(params, (B * K, S),
-                           method=type(model).init_decode_caches)
-               if use_cache else None)
+    # enc_kv is a decode-time constant (cross-attention K/V projected
+    # once); it stays out of the scan carry and is closed over
+    caches0, enc_kv = (model.apply(params, (B * K, S), beam_state,
+                                   method=type(model).init_decode_caches)
+                       if use_cache else (None, None))
 
     def step(carry, t):
         (text_ids, ext_ids, mask, scores, next_sym, oov_next, finished,
@@ -100,15 +110,15 @@ def beam_decode(model, params, batch, beam_size: int = 2,
             text_ids, next_sym, t, axis=3)
         ext_ids = jax.lax.dynamic_update_index_in_dim(
             ext_ids, oov_next, t, axis=3)
-        mask = jax.lax.dynamic_update_index_in_dim(
-            mask, jnp.ones((B, K, S), jnp.float32), t, axis=3)
 
         if use_cache:
             probs, caches = model.apply(
                 params, beam_batch, beam_state,
-                next_sym.reshape(B * K, S), t, caches,
+                next_sym.reshape(B * K, S), t, caches, enc_kv,
                 method=type(model).score_position_cached)
         else:
+            mask = jax.lax.dynamic_update_index_in_dim(
+                mask, jnp.ones((B, K, S), jnp.float32), t, axis=3)
             flat_ids = text_ids.reshape(B * K, S, T)
             flat_mask = mask.reshape(B * K, S, T)
             probs = model.apply(params, beam_batch, beam_state, flat_ids,

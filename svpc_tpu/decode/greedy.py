@@ -62,9 +62,14 @@ def greedy_decode(model, params, batch,
         nw = jnp.argmax(cur, axis=-1).astype(jnp.int32)  # (B, S)
         return jnp.where(nw >= V, tok.UNK, nw), nw       # (feed, extended)
 
+    # T-1 scoring iterations: iteration t writes position t then selects
+    # the token for position t+1.  Scoring at t = T-1 would run a full
+    # decoder step + head whose argmax no buffer holds — the final token
+    # is written outside the scan instead (same structure as beam.py).
+    steps = jnp.arange(max(T - 1, 0), dtype=jnp.int32)
     if use_cache:
-        caches0 = model.apply(params, (B, S),
-                              method=type(model).init_decode_caches)
+        caches0, enc_kv = model.apply(params, (B, S), state,
+                                      method=type(model).init_decode_caches)
 
         def step(carry, t):
             text_ids, ext_ids, next_sym, oov_next, caches = carry
@@ -73,14 +78,14 @@ def greedy_decode(model, params, batch,
             ext_ids = jax.lax.dynamic_update_index_in_dim(
                 ext_ids, oov_next, t, axis=2)
             cur, caches = model.apply(
-                params, head_batch, state, next_sym, t, caches,
+                params, head_batch, state, next_sym, t, caches, enc_kv,
                 method=type(model).score_position_cached)
             new_next, new_oov = argmax_step(cur)
             return (text_ids, ext_ids, new_next, new_oov, caches), None
 
         carry0 = (text_ids0, ext_ids0, next0, next0, caches0)
-        (text_ids, ext_ids, _, _, _), _ = jax.lax.scan(
-            step, carry0, jnp.arange(T, dtype=jnp.int32))
+        (text_ids, ext_ids, next_sym, oov_next, _), _ = jax.lax.scan(
+            step, carry0, steps)
     else:
         def step(carry, t):
             text_ids, ext_ids, text_mask, next_sym, oov_next = carry
@@ -97,8 +102,13 @@ def greedy_decode(model, params, batch,
             return (text_ids, ext_ids, text_mask, new_next, new_oov), None
 
         carry0 = (text_ids0, ext_ids0, text_mask0, next0, next0)
-        (text_ids, ext_ids, _, _, _), _ = jax.lax.scan(
-            step, carry0, jnp.arange(T, dtype=jnp.int32))
+        (text_ids, ext_ids, _, next_sym, oov_next), _ = jax.lax.scan(
+            step, carry0, steps)
+    # the token selected on the last iteration lands in the final slot
+    text_ids = jax.lax.dynamic_update_index_in_dim(
+        text_ids, next_sym, T - 1, axis=2)
+    ext_ids = jax.lax.dynamic_update_index_in_dim(
+        ext_ids, oov_next, T - 1, axis=2)
 
     out = text_ids if cfg.model_mode == "video" else ext_ids
     if packed:

@@ -238,12 +238,19 @@ class DecoderLayer(nn.Module):
 
         return self.output(cross, cross, deterministic)
 
-    def step(self, x_t, k_cache, v_cache, t, enc_out, enc_mask):
+    def project_enc_kv(self, enc_out):
+        """Cross-attention K/V of the static encoder memory, projected
+        once per decode instead of once per position (``step`` would
+        otherwise re-run these dense layers for every emitted token)."""
+        return self.dec_enc_attention.project_kv(enc_out)
+
+    def step(self, x_t, k_cache, v_cache, t, enc_k, enc_v, enc_mask):
         """Incremental decode for one position.
 
         x_t (N, 1, H); k_cache/v_cache (N, T, H) hold projected self-attn
         keys/values for positions < t (zeros elsewhere — exactly masked
         out, so results are bit-identical to the full recompute).
+        enc_k/enc_v (N, M, H) are ``project_enc_kv`` outputs.
         Returns (y_t (N, 1, H), k_cache, v_cache)."""
         n, T, _ = k_cache.shape
         k_t, v_t = self.self_attention.project_kv(x_t)     # (N, 1, H)
@@ -259,9 +266,9 @@ class DecoderLayer(nn.Module):
             jnp.broadcast_to(pos_ok, (n, 1, T)))
         attn = self.norm1(attn + x_t)
 
-        cross = self.dec_enc_attention(attn, enc_out, enc_out,
-                                       enc_mask[:, None, :],
-                                       deterministic=True)
+        cross_q = self.dec_enc_attention.project_q(attn)
+        cross = self.dec_enc_attention.attend(
+            cross_q, enc_k, enc_v, enc_mask[:, None, :])
         cross = self.norm2(attn + cross)
         y = self.output(cross, cross, True)
         return y, k_cache, v_cache
@@ -286,12 +293,18 @@ class Decoder(nn.Module):
             dec = run(layer, dec, dec_mask, enc_out, enc_mask)
         return dec
 
-    def step(self, x_t, caches, t, enc_out, enc_mask):
+    def project_enc_kv(self, enc_out):
+        """Per-layer cross-attention (K, V) of the static encoder memory —
+        computed once per decode, reused by every ``step``."""
+        return [layer.project_enc_kv(enc_out) for layer in self.layers]
+
+    def step(self, x_t, caches, t, enc_kv, enc_mask):
         """One incremental position through all layers.
-        caches: list of (k_cache, v_cache) per layer."""
+        caches: list of (k_cache, v_cache) per layer;
+        enc_kv: ``project_enc_kv`` output (per-layer cross K/V)."""
         new_caches = []
-        for layer, (k_c, v_c) in zip(self.layers, caches):
-            x_t, k_c, v_c = layer.step(x_t, k_c, v_c, t, enc_out, enc_mask)
+        for layer, (k_c, v_c), (e_k, e_v) in zip(self.layers, caches, enc_kv):
+            x_t, k_c, v_c = layer.step(x_t, k_c, v_c, t, e_k, e_v, enc_mask)
             new_caches.append((k_c, v_c))
         return x_t, new_caches
 

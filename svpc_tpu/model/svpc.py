@@ -303,33 +303,41 @@ class SVPCModel(nn.Module):
         dec_t = jax.lax.dynamic_slice_in_dim(dec, t, 1, axis=2)  # (B,S,1,H)
         return self.head_probs(batch, state, dec_t)[:, :, 0, :]
 
-    def init_decode_caches(self, batch_shape):
-        """Per-layer (k, v) self-attention caches for incremental decode."""
+    def init_decode_caches(self, batch_shape, state: EncodedState):
+        """Decode-time constants + mutable caches: per-layer zeroed (k, v)
+        self-attention caches, and the cross-attention K/V of the static
+        encoder memory projected ONCE (every ``score_position_cached``
+        would otherwise re-run those dense layers per emitted token).
+        Returns ``(self_caches, enc_kv)``; keep ``enc_kv`` out of scan
+        carries — it never changes."""
         cfg = self.cfg
         B, S = batch_shape
         dt = self.compute_dtype
-        return [
+        self_caches = [
             (jnp.zeros((B * S, cfg.max_t_len, cfg.hidden_size), dt),
              jnp.zeros((B * S, cfg.max_t_len, cfg.hidden_size), dt))
             for _ in range(cfg.num_hidden_layers)
         ]
+        M = state.ga_inputs.shape[2]
+        enc_out = state.ga_inputs.reshape(B * S, M, -1)
+        return self_caches, self.decoder.project_enc_kv(enc_out)
 
     def score_position_cached(self, batch, state: EncodedState, tok_t,
-                              t, caches):
+                              t, caches, enc_kv):
         """Incremental decode: embed the tokens at position ``t``, run one
         cached decoder step, score that position.
 
-        tok_t (B, S) int32 -> (probs (B, S, C), new caches).  Zero cache
+        tok_t (B, S) int32 -> (probs (B, S, C), new caches).  ``enc_kv``
+        is ``init_decode_caches``'s precomputed cross K/V.  Zero cache
         slots beyond ``t`` are exactly masked out of the softmax, so
         results are bit-identical to the full recompute
         (tests/test_cached_decode.py)."""
         B, S = tok_t.shape
-        M = state.ga_inputs.shape[2]
+        M = enc_kv[0][0].shape[1]
         x_t = self.text_embeddings.embed_position(
             tok_t.reshape(B * S, 1), t)                    # (B*S, 1, H)
-        enc_out = state.ga_inputs.reshape(B * S, M, -1)
         enc_mask = jnp.ones((B * S, M), x_t.dtype)
-        y_t, caches = self.decoder.step(x_t, caches, t, enc_out, enc_mask)
+        y_t, caches = self.decoder.step(x_t, caches, t, enc_kv, enc_mask)
         probs = self.head_probs(batch, state, y_t.reshape(B, S, 1, -1))
         return probs[:, :, 0, :], caches
 
