@@ -39,9 +39,10 @@ def main():
                         "steps (mid-epoch crash recovery; 0 = per epoch)")
     p.add_argument("--multihost", action="store_true",
                    help="multi-host slice: jax.distributed.initialize() "
-                        "from the TPU environment; each host feeds its "
-                        "process-local batch shard "
-                        "(parallel/mesh.py::shard_batch_multihost)")
+                        "from the TPU environment; every host builds the "
+                        "same deterministic global batch and transfers "
+                        "only the shards its devices own "
+                        "(parallel/mesh.py::assemble_global_batch)")
     args = p.parse_args()
     if args.multihost:
         import jax

@@ -288,7 +288,8 @@ class CaptionDataset:
         # fix_missing (recursive_caption_dataset.py:95-110)
         self.missing = [e["name"] for e in data
                         if not self.store.exists(self.video_name(e["name"]))]
-        self.data = [e for e in data if e["name"] not in set(self.missing)]
+        missing = set(self.missing)
+        self.data = [e for e in data if e["name"] not in missing]
         # shrink the padded step axis to the split's actual maximum (the
         # reference's eval datasets ask for max_n_sen+10=22 but the corpus
         # max is 16 — a fixed shape only needs to cover the data)

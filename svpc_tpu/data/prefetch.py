@@ -44,15 +44,11 @@ def prefetch_to_device(iterator: Iterator, size: int = 2,
                 if transform is not None:
                     batch = transform(batch)
                 if sharding is not None:
-                    if jax.process_count() > 1:
-                        # multi-host: this process holds only its local
-                        # shard of the global batch
-                        batch = {
-                            k: jax.make_array_from_process_local_data(
-                                sharding, v) for k, v in batch.items()}
-                    else:
-                        batch = {k: jax.device_put(v, sharding)
-                                 for k, v in batch.items()}
+                    # multi-process safe: every process builds the same
+                    # deterministic global batch and transfers only the
+                    # shards its devices own (parallel/mesh.py)
+                    from svpc_tpu.parallel.mesh import assemble_global_batch
+                    batch = assemble_global_batch(sharding, batch)
                 else:
                     batch = {k: jax.device_put(v) for k, v in batch.items()}
                 if not put((batch, meta)):

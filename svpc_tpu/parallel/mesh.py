@@ -62,19 +62,44 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.device_put(tree, sh)
 
 
-def shard_batch_multihost(mesh: Mesh, local_batch: dict) -> dict:
-    """Multi-host data-parallel batch assembly: each process feeds its
-    process-local shard of the global batch (per-host data loading as in
-    SURVEY §2.4's plan).  On a single process this reduces to shard_batch.
+def _assemble_from_index_map(sharding: NamedSharding, v) -> jax.Array:
+    """Place one host-built GLOBAL array onto a (possibly multi-process)
+    sharding by the sharding's own index map: each process device_puts
+    exactly the slices its addressable devices own and the global array
+    is assembled from those single-device shards.  Row selection is by
+    index, so no device-order / contiguity assumption is made — correct
+    for any mesh layout, including dp dims that are not axis 0
+    (stacked (K, B, ...) batches) and tp-replicated rows."""
+    imap = sharding.addressable_devices_indices_map(v.shape)
+    shards = [jax.device_put(v[idx], d) for d, idx in imap.items()]
+    return jax.make_array_from_single_device_arrays(v.shape, sharding, shards)
 
-    Use with ``jax.distributed.initialize()`` on multi-host slices; each
-    host loads ``global_batch_size / process_count`` examples.
-    """
+
+def assemble_global_batch(sharding: NamedSharding, batch: dict) -> dict:
+    """Host-built GLOBAL batch -> sharded device arrays, multi-process
+    safe.  Every process must build the IDENTICAL global batch (the
+    pipeline's shuffle is deterministic in (seed, epoch), so it does);
+    each process then transfers only the shards its own devices hold.
+    Single-process reduces to plain device_put.
+
+    Note the deliberate trade: hosts duplicate batch-construction work
+    (each builds all examples, transfers 1/process_count of them) in
+    exchange for exactness — no per-host dataset partitioning protocol,
+    identical numerics to the single-host run by construction."""
     if jax.process_count() == 1:
-        return shard_batch(mesh, local_batch)
-    sh = batch_sharding(mesh)
-    return {k: jax.make_array_from_process_local_data(sh, v)
-            for k, v in local_batch.items()}
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    return {k: _assemble_from_index_map(sharding, v)
+            for k, v in batch.items()}
+
+
+def shard_batch_multihost(mesh: Mesh, global_batch: dict) -> dict:
+    """Multi-host data-parallel batch placement: every process passes the
+    same deterministically-built GLOBAL batch; only the shards owned by
+    this process's devices are transferred (assemble_global_batch).  On a
+    single process this reduces to shard_batch.
+
+    Use with ``jax.distributed.initialize()`` on multi-host slices."""
+    return assemble_global_batch(batch_sharding(mesh), global_batch)
 
 
 # ---------------------------------------------------------------------- #

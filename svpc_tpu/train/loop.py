@@ -28,7 +28,7 @@ from svpc_tpu.decode.postprocess import (
 from svpc_tpu.evaluation.para_eval import evaluate_submission
 from svpc_tpu.model import SVPCModel
 from svpc_tpu.parallel.mesh import (
-    make_mesh, replicated_sharding, shard_batch, shard_params,
+    make_mesh, replicated_sharding, shard_batch_multihost, shard_params,
     shard_state_zero1, stacked_batch_sharding, state_shardings)
 from svpc_tpu.precision import precision_scope
 from svpc_tpu.train.optim import make_optimizer
@@ -234,7 +234,7 @@ def _decode_batches(params, dataset: CaptionDataset, decoder,
             if decoder["transform"] is not None:
                 batch = decoder["transform"](batch)
             if decoder["mesh"] is not None:
-                batch = shard_batch(decoder["mesh"], batch)
+                batch = shard_batch_multihost(decoder["mesh"], batch)
             yield decoder["jit"](params, batch), metas
             n += 1
             if max_batches and n >= max_batches:
@@ -338,8 +338,17 @@ def train(cfg: Config, workdir: str,
                              cfg.data.verb_glove_path, cfg.model.model_mode,
                              cfg.model.padded_vocab_size)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    n_frozen = 0
+    if cfg.train.freeze_glove:
+        # the reference counts trainable from requires_grad (utils.py:
+        # 32-45); freeze_glove is our requires_grad=False equivalent
+        from svpc_tpu.train.optim import _is_glove_path
+        n_frozen = sum(
+            int(np.prod(p.shape)) for path, p in
+            jax.tree_util.tree_flatten_with_path(params)[0]
+            if _is_glove_path(path))
     logger.info("Parameter Count: all %s; trainable %s",
-                f"{n_params:,d}", f"{n_params:,d}")  # reference utils.py:32-45
+                f"{n_params:,d}", f"{n_params - n_frozen:,d}")
 
     accum = max(1, cfg.train.grad_accum_steps)
     steps_per_epoch = math.ceil(len(train_ds) / cfg.train.batch_size)
@@ -660,7 +669,7 @@ def train(cfg: Config, workdir: str,
                 if feat_cast is not None:
                     batch = feat_cast(batch)
                 if mesh is not None:
-                    batch = shard_batch(mesh, batch)
+                    batch = shard_batch_multihost(mesh, batch)
                 vmetrics.append(eval_step(eval_params, batch,
                                           training_rng(epoch,
                                                        cfg.train.rng_impl)))

@@ -209,6 +209,29 @@ def _is_glove_path(path) -> bool:
     return any(keys[-len(t):] == t for t in GLOVE_TABLE_PATHS)
 
 
+def clip_by_global_norm_torch(max_norm: float) -> optax.GradientTransformation:
+    """torch.nn.utils.clip_grad_norm_ semantics (reference train.py:141-142):
+    scale every gradient by ``min(1, max_norm / (total_norm + 1e-6))``.
+
+    Two deliberate differences from optax.clip_by_global_norm, both needed
+    for bit-exact reference trajectories on steps where the clip fires:
+    the ``+1e-6`` in the denominator, and the total norm computed as the
+    norm of per-parameter norms (torch stacks per-tensor norms and norms
+    the stack — the extra sqrt/square round-trip rounds differently from
+    one flat sum of squares)."""
+
+    def update_fn(updates, state, params=None):
+        del params
+        leaf_norms = jax.tree.leaves(jax.tree.map(
+            lambda u: jnp.sqrt(jnp.sum(jnp.square(u))), updates))
+        total_norm = jnp.sqrt(sum(jnp.square(n) for n in leaf_norms))
+        scale = jnp.minimum(1.0, max_norm / (total_norm + 1e-6))
+        return jax.tree.map(lambda u: u * scale, updates), state
+
+    return optax.GradientTransformation(
+        lambda params: optax.EmptyState(), update_fn)
+
+
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int,
                    model_mode: str = "", n_layers: int = 0
                    ) -> optax.GradientTransformation:
@@ -225,7 +248,7 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int,
     t_total = steps_per_epoch * cfg.n_epoch
     chain = []
     if cfg.grad_clip > 0:
-        chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+        chain.append(clip_by_global_norm_torch(cfg.grad_clip))
     chain.append(bert_adam(
         lr=cfg.lr, schedule=cfg.lr_schedule, warmup=cfg.lr_warmup_proportion,
         t_total=t_total, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,

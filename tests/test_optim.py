@@ -64,6 +64,68 @@ def test_bert_adam_matches_reference():
                                tb.detach().numpy(), rtol=1e-5, atol=1e-6)
 
 
+def test_global_clip_chain_matches_reference():
+    """The FULL chain — global clip_grad_norm_(1) then BertAdam — must
+    track the reference trajectory on steps where the clip fires
+    (train.py:141-142).  torch scales by max_norm/(total_norm + 1e-6)
+    and computes total_norm as the norm of per-parameter norms;
+    optax.clip_by_global_norm does neither, hence
+    clip_by_global_norm_torch."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from tools.reference_harness import install_patches
+    install_patches()
+    import sys
+    sys.path.insert(0, rb.REFERENCE_ROOT)
+    from src.rtransformer.optimization import BertAdam
+
+    rng = np.random.RandomState(3)
+    w0 = rng.randn(6, 4).astype(np.float32)
+    b0 = rng.randn(4).astype(np.float32)
+    x = (rng.randn(16, 6) * 10).astype(np.float32)   # big grads -> clip fires
+    y = rng.randn(16, 4).astype(np.float32)
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    tb = torch.nn.Parameter(torch.from_numpy(b0.copy()))
+    groups = [{"params": [tw], "weight_decay": 0.01},
+              {"params": [tb], "weight_decay": 0.0}]
+    opt = BertAdam(groups, lr=1e-3, warmup=0.2, t_total=50,
+                   schedule="warmup_linear")
+    tx_, ty = torch.from_numpy(x), torch.from_numpy(y)
+    clipped_any = False
+    for _ in range(10):
+        opt.zero_grad()
+        loss = ((tx_ @ tw + tb - ty) ** 2).sum()
+        loss.backward()
+        total = torch.nn.utils.clip_grad_norm_([tw, tb], 1.0)
+        clipped_any = clipped_any or float(total) > 1.0
+        opt.step()
+    assert clipped_any, "fixture too tame: the global clip never fired"
+
+    from svpc_tpu.train.optim import bert_adam, clip_by_global_norm_torch
+    params = {"dense": {"kernel": jnp.asarray(w0), "bias": jnp.asarray(b0)}}
+    tx = optax.chain(
+        clip_by_global_norm_torch(1.0),
+        bert_adam(lr=1e-3, schedule="warmup_linear", warmup=0.2, t_total=50))
+    state = tx.init(params)
+
+    def loss_fn(p):
+        return jnp.sum((jnp.asarray(x) @ p["dense"]["kernel"]
+                        + p["dense"]["bias"] - jnp.asarray(y)) ** 2)
+
+    for _ in range(10):
+        grads = jax.grad(loss_fn)(params)
+        updates, state = tx.update(grads, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["dense"]["kernel"]),
+                               tw.detach().numpy(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(params["dense"]["bias"]),
+                               tb.detach().numpy(), rtol=1e-6, atol=1e-7)
+
+
 def test_ema_schedule_matches_reference():
     import jax.numpy as jnp
     from svpc_tpu.train.optim import ema_update
