@@ -148,6 +148,31 @@ def bench_decode(base_cfg, batch_size, iters, packed, baseline):
     return total_clips / dt
 
 
+def _measure_with_retry(fn, *args, attempts=3, what="bench", **kwargs):
+    """Re-run a whole measurement phase on transient TPU-tunnel RPC flakes
+    (the remote_compile / read-body failures catalogued in
+    svpc_tpu/runtime.py).  Retrying the PHASE — not the jitted call —
+    rebuilds state/batch from scratch each attempt, so donated inputs from
+    a failed attempt can never poison the retry.  This protects the
+    round-end artifact of record: one flake must not lose the number."""
+    from svpc_tpu.runtime import _TRANSIENT_MARKERS
+    last = None
+    for attempt in range(attempts):
+        try:
+            return fn(*args, **kwargs)
+        except RuntimeError as e:
+            msg = str(e).lower()
+            if (attempt == attempts - 1
+                    or not any(m in msg for m in _TRANSIENT_MARKERS)):
+                raise
+            last = e
+            print(f"# transient failure in {what} "
+                  f"(attempt {attempt + 1}/{attempts}), retrying: "
+                  f"{str(e).splitlines()[0]}", file=sys.stderr)
+            time.sleep(2.0 * (attempt + 1))
+    raise last  # pragma: no cover
+
+
 def main():
     from svpc_tpu.config import Config, ModelConfig, TrainConfig
     from svpc_tpu.runtime import init_runtime
@@ -188,7 +213,8 @@ def main():
     train_sweep = {}
     for b in sweep:
         train_sweep[f"b{b}"] = round(
-            bench_train(base_cfg, b, iters, packed, baseline, scan=scan), 2)
+            _measure_with_retry(bench_train, base_cfg, b, iters, packed,
+                                baseline, scan=scan, what=f"train b{b}"), 2)
     best = max(train_sweep.values())
     vs_baseline = (best / baseline["train_clips_per_sec"]
                    if baseline else None)
@@ -197,14 +223,21 @@ def main():
               "optimizer_dtype": opt_dtype, "packed": packed}
     if run_decode:
         # decode keeps scaling past the train sweet spot (B=64 measured
-        # above B=32/48 — serving numbers in BASELINE.md)
+        # above B=32/48 — serving numbers in BASELINE.md).  A decode-half
+        # failure degrades to an extras note rather than losing the train
+        # metric: the artifact's primary number must survive.
         decode_batch = int(os.environ.get("SVPC_BENCH_DECODE_BATCH", "64"))
-        dec = bench_decode(base_cfg, decode_batch, max(iters // 2, 5),
-                           packed, baseline)
-        extras["decode_clips_per_sec"] = round(dec, 2)
-        if baseline:
-            extras["decode_vs_baseline"] = round(
-                dec / baseline["decode_clips_per_sec"], 2)
+        try:
+            dec = _measure_with_retry(bench_decode, base_cfg, decode_batch,
+                                      max(iters // 2, 5), packed, baseline,
+                                      what="decode")
+        except Exception as e:  # noqa: BLE001 — artifact must still print
+            extras["decode_error"] = str(e).splitlines()[0][:200]
+        else:
+            extras["decode_clips_per_sec"] = round(dec, 2)
+            if baseline:
+                extras["decode_vs_baseline"] = round(
+                    dec / baseline["decode_clips_per_sec"], 2)
 
     print(json.dumps({
         "metric": "train_clips_per_sec_per_chip",
