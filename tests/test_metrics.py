@@ -134,11 +134,44 @@ def test_meteor_fixture_snapshot():
     from svpc_tpu.evaluation.meteor import approximate_meteor
     gts, res = _meteor_fixture()
     mean, scores = approximate_meteor(gts, res)
-    np.testing.assert_allclose(mean, 0.301807, atol=1e-5)
+    np.testing.assert_allclose(mean, 0.307687, atol=1e-5)
     np.testing.assert_allclose(
         scores,
-        [0.415365, 0.274914, 0.332739, 0.366432, 0.580704,
+        [0.474161, 0.274914, 0.332739, 0.366432, 0.580704,
          0.159204, 0.0, 0.32881, 0.376901, 0.183007], atol=1e-5)
+
+
+def test_meteor_aligner_optimal_on_tie_cases():
+    """The alignment search must realize the spec's lexicographic
+    objective — maximize weighted matches, THEN minimize chunks, then
+    distance — on hand-built cases where a greedy aligner provably fails
+    (round-2 VERDICT item 3)."""
+    from svpc_tpu.evaluation.meteor import _align
+
+    # a greedy left-to-right aligner matches hyp[0] 'b'->ref[1], forcing
+    # pairs (0,1),(1,0): 2 matches in 2 chunks.  The optimal alignment
+    # skips hyp[0] and takes the contiguous run (1,0),(2,1): 1 chunk.
+    pairs, chunks = _align("b a b".split(), "a b".split())
+    assert pairs == [(1, 0, 1.0), (2, 1, 1.0)]
+    assert chunks == 1
+
+    # matches dominate chunks: 2 matches in 2 chunks beats 1 match in 1
+    pairs, chunks = _align("a x b".split(), "b a".split())
+    assert len(pairs) == 2 and chunks == 2
+
+    # module priority: the exact candidate wins over the stem candidate
+    # even though both are single matches with one chunk
+    pairs, _ = _align(["cats"], "cat cats".split())
+    assert pairs == [(0, 1, 1.0)]
+
+    # distance tie-break between equal-weight, equal-chunk duplicates
+    pairs, _ = _align(["a"], "a x a".split())
+    assert pairs == [(0, 0, 1.0)]
+
+    # the identical sentence aligns as ONE contiguous chunk (the -2
+    # adjacency sentinel: j=0 at hyp position 0 must still open a chunk)
+    pairs, chunks = _align("the cat".split(), "the cat".split())
+    assert chunks == 1 and len(pairs) == 2
 
 
 def test_meteor_fixture_jar_delta():
