@@ -19,7 +19,10 @@ API (JSON over HTTP):
    -> {"video_id": "...",
        "captions": [{"timestamp": [s, e], "sentence": "..."} ...]}
       (features are read from --video_feature_dir/<vid>_{resnet,bn}.npy;
-       the duration CSV must carry a row per video)
+       the duration CSV must carry a row per video; with --use_beam
+       --n_best N each caption also carries "nbest": ranked
+       [{"sentence", "score"}] — the offline cli.evaluate surface,
+       reference train.py:546-548)
   GET /healthz     -> {"status": "ok", ...model/serving geometry...}
   GET /v1/stats    -> request/batch counters + latency quantiles
 
@@ -115,6 +118,7 @@ class CaptionHandler(BaseHTTPRequestHandler):
                 "model_mode": svc.cfg.model.model_mode,
                 "decoder": (f"beam{svc.beam_size}"
                             if svc.beam_size > 1 else "greedy"),
+                "n_best": svc.n_best,
                 "batch_videos": svc.batch_videos,
                 "max_clips": svc.max_clips,
                 "compute_dtype": svc.cfg.model.compute_dtype,
@@ -161,13 +165,15 @@ class CaptionHandler(BaseHTTPRequestHandler):
             if not video_id:
                 raise ServingError("request needs a 'video_id'")
             entry = srv.service.make_entry(video_id, req)
-            sentences = srv.batcher.submit(entry,
-                                           timeout=srv.request_timeout)
+            payloads = srv.batcher.submit(entry,
+                                          timeout=srv.request_timeout)
             resp = {
                 "video_id": video_id,
-                "captions": [{"timestamp": entry["timestamps"][i],
-                              "sentence": s}
-                             for i, s in enumerate(sentences)],
+                # each clip payload is {"sentence": ...} plus ranked
+                # "nbest": [{sentence, score}] when serving with --n_best
+                "captions": [dict({"timestamp": entry["timestamps"][i]},
+                                  **c)
+                             for i, c in enumerate(payloads)],
             }
             n_asked = len(req.get("timestamps") or [])
             if n_asked > len(entry["timestamps"]):
@@ -285,7 +291,17 @@ def main(argv=None):
                         "spooled into this directory")
     p.add_argument("--use_beam", action="store_true")
     p.add_argument("--beam_size", type=int, default=2)
+    p.add_argument("--n_best", type=int, default=1,
+                   help="with --use_beam: each caption also carries the "
+                        "top-N ranked hypotheses with scores ('nbest'), "
+                        "matching cli.evaluate's offline --n_best surface")
     args = p.parse_args(argv)
+    if args.n_best > 1 and not args.use_beam:
+        p.error("--n_best > 1 requires --use_beam (greedy decode yields "
+                "a single hypothesis)")
+    if args.use_beam and args.n_best > args.beam_size:
+        p.error(f"--n_best {args.n_best} cannot exceed "
+                f"--beam_size {args.beam_size}")
 
     cfg = config_from_args(args)
     cfg, model, params = load_serving_model(cfg, args)
@@ -302,7 +318,8 @@ def main(argv=None):
     service = CaptionService(
         cfg, model, params, batch_videos=args.batch_videos,
         max_clips=args.max_clips or None,
-        beam_size=args.beam_size if args.use_beam else 0, mesh=mesh,
+        beam_size=args.beam_size if args.use_beam else 0,
+        n_best=args.n_best if args.use_beam else 1, mesh=mesh,
         clip_buckets=buckets, upload_dir=args.upload_dir or None)
     server = start_server(service, args.host, args.port,
                           max_wait_ms=args.max_wait_ms,

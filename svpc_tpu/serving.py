@@ -121,6 +121,7 @@ class CaptionService:
                  batch_videos: int = 8,
                  max_clips: Optional[int] = None,
                  beam_size: int = 0,
+                 n_best: int = 1,
                  feature_store=None,
                  mesh=None,
                  clip_buckets: Optional[Sequence[int]] = None,
@@ -133,6 +134,15 @@ class CaptionService:
         max_clips = max_clips or cfg.model.max_n_sen
         if batch_videos < 1:
             raise ValueError(f"batch_videos must be >= 1, got {batch_videos}")
+        if n_best < 1:
+            raise ValueError(f"n_best must be >= 1, got {n_best}")
+        if n_best > 1 and not (beam_size and beam_size > 1):
+            raise ValueError(
+                f"n_best={n_best} requires beam search (beam_size > 1); "
+                "greedy decoding yields a single hypothesis")
+        if n_best > max(beam_size, 1):
+            raise ValueError(
+                f"n_best={n_best} cannot exceed beam_size={beam_size}")
         # multi-chip serving: request batches shard over dp, params over
         # the tp rules (same layout cli.evaluate's mesh-sharded eval uses)
         self._mesh = mesh
@@ -147,6 +157,7 @@ class CaptionService:
         self.params = params
         self.batch_videos = batch_videos
         self.beam_size = beam_size
+        self.n_best = n_best
         self.ds = CaptionDataset(cfg, "infer", num_steps=max_clips,
                                  entries=[], lazy_features=True,
                                  feature_store=feature_store)
@@ -199,7 +210,8 @@ class CaptionService:
         if beam_size and beam_size > 1:
             from svpc_tpu.decode.beam import beam_decode
             fn = jax.jit(lambda p, b: beam_decode(model, p, b,
-                                                  beam_size=beam_size))
+                                                  beam_size=beam_size,
+                                                  n_best=n_best))
         else:
             from svpc_tpu.decode.greedy import greedy_decode
             fn = jax.jit(lambda p, b: greedy_decode(model, p, b))
@@ -415,18 +427,27 @@ class CaptionService:
         n = next(b for b in self._buckets if shard_max <= b)
         return self._builders[n]
 
-    def _decode_batch(self, batch) -> np.ndarray:
+    def _decode_batch(self, batch):
+        """Run the jitted decoder; returns host arrays — one (B, S, T)
+        token grid, or the ``(tokens (B,n,S,T), scores (B,n,S))`` pair
+        when the service was built with n_best > 1."""
+        import jax
         if self._transform is not None:
             batch = self._transform(batch)
         if self._mesh is not None:
             from svpc_tpu.parallel.mesh import shard_batch
             batch = shard_batch(self._mesh, batch)
         with self._lock, precision_scope(self.cfg.model):
-            return np.asarray(self._decode(self.params, batch))
+            return jax.tree.map(np.asarray, self._decode(self.params, batch))
 
-    def decode_examples(self, examples: Sequence[Example]) -> List[List[str]]:
-        """Decode up to ``batch_videos`` examples -> per-example sentence
-        lists (one postprocessed sentence per real clip)."""
+    def decode_payloads(self, examples: Sequence[Example]
+                        ) -> List[List[dict]]:
+        """Decode up to ``batch_videos`` examples -> per-example per-clip
+        payload dicts: ``{"sentence": str}``, plus ``"nbest":
+        [{"sentence", "score"}, ...]`` ranked best-first when the service
+        was built with ``n_best > 1`` — the same construction as the
+        offline ``run_nbest_eval`` (train/loop.py), so HTTP responses stay
+        consistent with the offline ``--n_best`` surface."""
         if len(examples) > self.batch_videos:
             raise ValueError(
                 f"{len(examples)} examples > batch_videos={self.batch_videos}")
@@ -436,23 +457,43 @@ class CaptionService:
         else:
             batch = pad_batch_to(batch_examples(list(examples)),
                                  self.batch_videos)
-        ids = self._decode_batch(batch)
+        out = self._decode_batch(batch)
         metas = [e.meta for e in examples]
-        return batch_to_sentences(ids, metas, self.ds.vocab)
+        if self.n_best > 1:
+            tokens, scores = out
+            per_rank = [batch_to_sentences(tokens[:, r], metas,
+                                           self.ds.vocab)
+                        for r in range(self.n_best)]
+            return [[{"sentence": per_rank[0][b][s],
+                      "nbest": [{"sentence": per_rank[r][b][s],
+                                 "score": float(scores[b, r, s])}
+                                for r in range(self.n_best)]}
+                     for s in range(meta["n_steps"])]
+                    for b, meta in enumerate(metas)]
+        sentences = batch_to_sentences(out, metas, self.ds.vocab)
+        return [[{"sentence": s} for s in sents] for sents in sentences]
+
+    def decode_examples(self, examples: Sequence[Example]) -> List[List[str]]:
+        """Decode up to ``batch_videos`` examples -> per-example sentence
+        lists (one postprocessed sentence per real clip; rank 0 under
+        n_best)."""
+        return [[c["sentence"] for c in clips]
+                for clips in self.decode_payloads(examples)]
 
     def caption(self, specs: Dict[str, Dict]) -> Dict[str, List[dict]]:
         """Synchronous convenience: decode a whole spec dict (chunked to
-        the serving batch size) -> {vid: [{timestamp, sentence}, ...]}."""
+        the serving batch size) -> {vid: [{timestamp, sentence[, nbest]},
+        ...]}."""
         entries = [self.make_entry(vid, spec) for vid, spec in specs.items()]
         out: Dict[str, List[dict]] = {}
         for lo in range(0, len(entries), self.batch_videos):
             chunk = entries[lo:lo + self.batch_videos]
             examples = [self.example_for(e) for e in chunk]
-            for entry, sents in zip(chunk,
-                                    self.decode_examples(examples)):
+            for entry, clips in zip(chunk,
+                                    self.decode_payloads(examples)):
                 out[entry["name"]] = [
-                    {"timestamp": entry["timestamps"][i], "sentence": s}
-                    for i, s in enumerate(sents)]
+                    dict({"timestamp": entry["timestamps"][i]}, **c)
+                    for i, c in enumerate(clips)]
         return out
 
 
@@ -463,7 +504,7 @@ class _Pending:
     def __init__(self, example: Example):
         self.example = example
         self.done = threading.Event()
-        self.result: Optional[List[str]] = None
+        self.result: Optional[List[dict]] = None
         self.error: Optional[BaseException] = None
         self.t_submit = time.perf_counter()
         # set when the submitter gave up (timeout / closed batcher): the
@@ -558,9 +599,11 @@ class DynamicBatcher:
         self._thread.start()
 
     def submit(self, entry: dict, timeout: Optional[float] = 60.0
-               ) -> List[str]:
+               ) -> List[dict]:
         """Build the example (in the caller's thread), queue it, wait for
-        the batched decode; returns the per-clip sentences."""
+        the batched decode; returns the per-clip payload dicts
+        (``{"sentence": ...[, "nbest": ...]}`` — CaptionService.
+        decode_payloads)."""
         if self._closed.is_set():
             raise RuntimeError("batcher is closed")
         # example-build failures propagate uncounted: the transport layer
@@ -628,11 +671,11 @@ class DynamicBatcher:
                 continue
             try:
                 t0 = time.perf_counter()
-                sents = self.service.decode_examples(
+                payloads = self.service.decode_payloads(
                     [p.example for p in items])
                 batch_s = time.perf_counter() - t0
-                for p, s in zip(items, sents):
-                    p.result = s
+                for p, clips in zip(items, payloads):
+                    p.result = clips
                 # only requests still owned by a waiter count: one that
                 # timed out mid-decode was already recorded as an error
                 # by its submitter

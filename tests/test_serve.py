@@ -163,8 +163,9 @@ def test_dynamic_batcher_coalesces_and_matches(served):
     batcher.close()
 
     assert not errors, errors
-    for vid, sents in results.items():
-        assert sents == [c["sentence"] for c in expected[vid]]
+    for vid, payloads in results.items():
+        assert [p["sentence"] for p in payloads] == \
+            [c["sentence"] for c in expected[vid]]
     snap = batcher.stats.snapshot()
     assert snap["requests"] == len(specs)
     assert snap["batches"] == 2  # 3 requests coalesced into 2-slot batches
@@ -268,6 +269,37 @@ def test_beam_serving_matches_offline_beam(served):
             [c["sentence"] for c in clips]
 
 
+def test_nbest_serving_matches_offline_nbest(served):
+    """n_best>1 serving carries ranked 'nbest' hypotheses+scores on every
+    clip, byte-consistent with the offline run_nbest_eval path (round-2
+    VERDICT item 5: the reference's --n_best surface, train.py:546-548,
+    end-to-end online)."""
+    import pytest
+    from svpc_tpu.serving import CaptionService
+    from svpc_tpu.train.loop import run_nbest_eval
+
+    service0, cfg, ds, model, params = served
+    with pytest.raises(ValueError, match="requires beam"):
+        CaptionService(cfg, model, params, batch_videos=2, n_best=2,
+                       warmup=False)
+    with pytest.raises(ValueError, match="exceed beam_size"):
+        CaptionService(cfg, model, params, batch_videos=2, beam_size=2,
+                       n_best=3, warmup=False)
+
+    nb = CaptionService(cfg, model, params, batch_videos=2, beam_size=3,
+                        n_best=2)
+    sub = run_nbest_eval(model, params, ds, cfg, beam_size=3, n_best=2)
+    got = nb.caption(_specs(ds))
+    for vid, clips in sub["results"].items():
+        assert len(got[vid]) == len(clips)
+        for mine, offline in zip(got[vid], clips):
+            assert mine["sentence"] == offline["sentence"]
+            assert mine["nbest"] == offline["nbest"]
+            # rank 0 of nbest IS the sentence, ranked best-first
+            assert mine["nbest"][0]["sentence"] == mine["sentence"]
+            assert mine["nbest"][0]["score"] >= mine["nbest"][1]["score"]
+
+
 def test_batcher_survives_decode_failure(served):
     """A failing device batch surfaces the error to its waiters and the
     worker keeps serving subsequent requests."""
@@ -290,8 +322,9 @@ def test_batcher_survives_decode_failure(served):
     finally:
         service._decode = real_decode
     # the worker thread survived and the next request succeeds
-    assert batcher.submit(service.make_entry(vid, specs[vid]),
-                          timeout=120.0) == expected
+    assert [p["sentence"]
+            for p in batcher.submit(service.make_entry(vid, specs[vid]),
+                                    timeout=120.0)] == expected
     snap = batcher.stats.snapshot()
     assert snap["errors"] == 1 and snap["batches"] == 1
     batcher.close()
