@@ -18,7 +18,8 @@ tools/bench_reference.py on this machine's CPU, same batch composition).
 
 Env knobs: SVPC_BENCH_BATCH (single batch size instead of the sweep),
 SVPC_BENCH_ITERS, SVPC_BENCH_DTYPE, SVPC_BENCH_PACKED, SVPC_BENCH_DECODE=0
-to skip the decode half.
+to skip the decode half, SVPC_BENCH_PIN=0 to skip the warn-only
+regression check against tools/bench_pin.json (extras.regression).
 """
 
 from __future__ import annotations
@@ -154,23 +155,13 @@ def _measure_with_retry(fn, *args, attempts=3, what="bench", **kwargs):
     svpc_tpu/runtime.py).  Retrying the PHASE — not the jitted call —
     rebuilds state/batch from scratch each attempt, so donated inputs from
     a failed attempt can never poison the retry.  This protects the
-    round-end artifact of record: one flake must not lose the number."""
-    from svpc_tpu.runtime import _TRANSIENT_MARKERS
-    last = None
-    for attempt in range(attempts):
-        try:
-            return fn(*args, **kwargs)
-        except RuntimeError as e:
-            msg = str(e).lower()
-            if (attempt == attempts - 1
-                    or not any(m in msg for m in _TRANSIENT_MARKERS)):
-                raise
-            last = e
-            print(f"# transient failure in {what} "
-                  f"(attempt {attempt + 1}/{attempts}), retrying: "
-                  f"{str(e).splitlines()[0]}", file=sys.stderr)
-            time.sleep(2.0 * (attempt + 1))
-    raise last  # pragma: no cover
+    round-end artifact of record: one flake must not lose the number.
+    Same retry core as runtime.transient_retry (shared semantics), with
+    retries reported on stderr so the artifact line stays clean."""
+    from svpc_tpu.runtime import run_with_transient_retry
+    return run_with_transient_retry(
+        lambda: fn(*args, **kwargs), attempts=attempts, what=what,
+        log=lambda m: print(f"# {m}", file=sys.stderr))
 
 
 def main():
@@ -232,12 +223,58 @@ def main():
                                       max(iters // 2, 5), packed, baseline,
                                       what="decode")
         except Exception as e:  # noqa: BLE001 — artifact must still print
-            extras["decode_error"] = str(e).splitlines()[0][:200]
+            # guard the empty-message case (e.g. RuntimeError()) the way
+            # runtime.py does, and make the degradation loud on stderr so
+            # automation reading only the exit status still has a signal
+            # in the logs (the exit stays 0 by design: the train metric —
+            # the artifact's primary number — did succeed)
+            extras["decode_error"] = (str(e).splitlines() or [""])[0][:200]
+            print(f"# WARNING: decode phase failed, artifact carries "
+                  f"decode_error: {extras['decode_error']}",
+                  file=sys.stderr)
         else:
             extras["decode_clips_per_sec"] = round(dec, 2)
             if baseline:
                 extras["decode_vs_baseline"] = round(
                     dec / baseline["decode_clips_per_sec"], 2)
+
+    # warn-only regression check against the checked-in state-of-record
+    # pin (tools/bench_pin.json; round-2 VERDICT item 8): the artifact
+    # carries extras.regression so a future round's slowdown surfaces in
+    # BENCH_r*.json itself instead of only via BASELINE.md archaeology.
+    # SVPC_BENCH_PIN=0 disables (e.g. deliberate off-pin configurations);
+    # the check also stands down by itself when the measured config
+    # differs from the pin's conditions (env overrides).
+    pin_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools", "bench_pin.json")
+    if os.environ.get("SVPC_BENCH_PIN", "1") != "0" \
+            and os.path.exists(pin_path):
+        with open(pin_path) as f:
+            pin = json.load(f)
+        cond = pin.get("conditions", {})
+        applicable = (
+            compute_dtype == cond.get("dtype", compute_dtype)
+            and opt_dtype == cond.get("optimizer_dtype", opt_dtype)
+            and packed == cond.get("packed", packed)
+            and cond.get("train_batch", 32) in sweep)
+        if applicable:
+            tol = float(pin.get("tolerance", 0.1))
+            reg = {"tolerance": tol, "status": "ok"}
+            r = best / float(pin["train_clips_per_sec"])
+            reg["train_vs_pin"] = round(r, 3)
+            if r < 1.0 - tol:
+                reg["status"] = "regressed"
+            dec = extras.get("decode_clips_per_sec")
+            if dec and pin.get("decode_clips_per_sec"):
+                rd = dec / float(pin["decode_clips_per_sec"])
+                reg["decode_vs_pin"] = round(rd, 3)
+                if rd < 1.0 - tol:
+                    reg["status"] = "regressed"
+            extras["regression"] = reg
+            if reg["status"] != "ok":
+                print(f"# WARNING: throughput below the pinned band "
+                      f"(tools/bench_pin.json, tolerance {tol:.0%}): "
+                      f"{reg}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "train_clips_per_sec_per_chip",
