@@ -11,12 +11,21 @@ closed-class function-word inventory shared with the METEOR fallback).
 It is an **approximation**, and a measured one: rebuilding the POS
 vocabulary over the in-repo YC2 training annotations and comparing with
 the reference's shipped spaCy-built `cache/pos_vocab_word2idx.json`
-(1558 entries) gives type-level recall 0.994 / precision 0.79
-(`tests/test_pos_vocab.py::test_lexicon_tagger_agreement_with_shipped_vocab`).
-The precision gap is dominated by spaCy tagging foreign food words as
-PROPN/X ("chili", "garam", "adobo", misspellings), which excludes them
-from a *cooking* vocabulary — a data-free tagger cannot (and arguably
-should not) reproduce that, so a rebuilt vocab comes out slightly larger.
+(1558 entries) gives type-level recall 0.9955 / precision 0.834
+(`tests/test_pos_vocab.py::test_lexicon_tagger_agreement_with_shipped_vocab`;
+0.790 before the round-3 adjective-class expansion, which removed 94
+false positives with zero new misses).  The residual gap is measured to
+be data-bound, not rule-bound: the remaining ~300 false positives are
+(a) foreign-origin food words spaCy's trained model tags PROPN/X
+("chili" ×185, "garam", "udon", "adobo") and (b) hapax misspellings
+("avacodo", "corinader") — a char-trigram English-likelihood model
+trained on every in-repo English source separates them from legitimate
+hapax nouns ("asparagus", "blowtorch") at ~1 lost true word per removed
+false one at every threshold (measured 2026-08-20), so no data-free
+filter can push precision toward 0.9 without breaking the >=0.99 recall
+bar.  The corpus is fully lowercase, so spaCy's case-based PROPN signal
+does not exist here either.  A rebuilt vocab therefore comes out ~19%
+larger than the artifact of record, never smaller.
 
 Tag inventory is deliberately tiny: VERB / NOUN / OTHER — the only
 distinction `build_pos_vocab` consumes (reference keeps tokens whose tag
@@ -55,13 +64,35 @@ twenty thirty forty fifty hundred thousand
 # Common recipe adjectives.  Context can still promote these to VERB
 # (imperative "brown the beef") or NOUN; the list only suppresses the
 # default-NOUN fallback in attributive position ("a large pan").
+# Curated in semantic classes (colors, textures, shapes/sizes, quality,
+# participial adjectives, nationalities/cuisines, ordinal/temporal) and
+# measured against the shipped spaCy artifact: the round-3 expansion
+# lifted type precision 0.790 -> 0.834 at unchanged 0.9955 recall with
+# ZERO new misses (tests/test_pos_vocab.py).  Borderline words the
+# shipped vocab KEEPS (spaCy saw nominal/verbal uses: "wet the paper",
+# "the tender", "beaten"/"peeled" as verb participles) are deliberately
+# absent: crispy, tender, wet, desired, beaten, peeled.
 _ADJECTIVES = frozenset("""
 hot cold warm small little big large thin thick fresh deep high low soft
 hard fine coarse medium raw ready nice good bad better best same different
 few many much more most less least long short round flat even gentle sweet
-sour salty bitter italian french chinese indian mexican japanese asian
-american other another several double triple single extra regular plain
-favorite optional necessary entire boneless skinless lean tiny huge
+sour salty bitter other another several double triple single extra regular
+plain favorite optional necessary entire boneless skinless lean tiny huge
+black red golden pink blue dark light pale bright clear
+crisp sticky stiff chunky creamy fluffy fatty tough damp moist dry
+broad wide narrow tall straight diagonal circular spiral square outer
+inner lower upper elastic firm smooth rough shiny translucent
+empty full direct generous proper sharp quick slow heavy
+complete special favourite homemade organic kosher excess
+excessive uncooked unsalted unpeeled textured sized slotted non-stick
+all-purpose bite-size bite-sized ball-shaped pre-heated preheated
+candied dusted moistened strained whisked colored coloured
+italian french chinese indian mexican japanese asian american korean
+thai greek swiss canadian irish jamaican sicilian szechuan caribbean
+cajun celtic himalayan turkish spanish german english russian
+vietnamese filipino persian lebanese moroccan hawaiian
+next second third new old overnight equal per till without instead
+later earlier non wise active poor
 """.split())
 
 # Irregular past/participle forms -> their lemma (only verbs plausible in

@@ -146,9 +146,12 @@ def test_lexicon_tagger_agreement_with_shipped_vocab():
     """Rebuild the POS vocabulary over the real YC2 training annotations
     with the data-free lexicon tagger and compare against the
     reference's shipped spaCy-built cache/pos_vocab_word2idx.json: type
-    recall >= 0.99, precision >= 0.78 (the gap is spaCy tagging foreign
-    food words PROPN/X — 'chili', 'garam', 'adobo' — which excludes them
-    from the shipped vocab; svpc_tpu/tagging.py docstring)."""
+    recall >= 0.99, precision >= 0.82 (measured 0.9955 / 0.834 after the
+    round-3 adjective-class expansion; the residual gap is measured to be
+    data-bound — spaCy's trained model tags foreign food words PROPN/X
+    ('chili', 'garam', 'udon') and no data-free filter separates them
+    from legitimate rare nouns without breaking the recall bar;
+    svpc_tpu/tagging.py docstring)."""
     from svpc_tpu.cli.build_pos_vocab import build_pos_vocab
     from svpc_tpu.tagging import lexicon_tagger
     from svpc_tpu.tokenization import word_tokenize
@@ -167,10 +170,10 @@ def test_lexicon_tagger_agreement_with_shipped_vocab():
     tp = len(pred & shipped_here)
     recall = tp / len(shipped_here)
     precision = len(pred & shipped) / len(pred)
-    assert recall >= 0.99, recall      # measured 0.9942
-    assert precision >= 0.78, precision  # measured 0.7898
+    assert recall >= 0.99, recall      # measured 0.9955
+    assert precision >= 0.82, precision  # measured 0.8339
     # a rebuilt vocab is a modest superset, not an explosion
-    assert len(pred) <= 1.3 * len(shipped)
+    assert len(pred) <= 1.25 * len(shipped)  # measured 1.19x
 
 
 def test_lexicon_tagger_rules():
