@@ -95,10 +95,13 @@ def add_common_args(p: argparse.ArgumentParser):
                         "numerics unchanged — grads stay replicated so "
                         "both grad-norm clips see full gradients)")
     p.add_argument("--pp_size", type=int, default=1,
-                   help="pipeline-parallel stage count; must be 1 for "
-                        "this 2+2-layer model (the GPipe primitive a "
-                        "deeper trunk would use is "
-                        "svpc_tpu/parallel/pipeline.py)")
+                   help="pipeline-parallel stage count (dp x pp mesh): "
+                        "encoder/decoder trunks run the GPipe schedule "
+                        "(svpc_tpu/parallel/pipeline.py); must divide "
+                        "num_hidden_layers; trajectory-identical to pp=1")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="microbatches per pipeline dispatch (0 = auto: "
+                        "2 * pp_size)")
     p.add_argument("--grad_accum_steps", type=int, default=1,
                    help="host batches per optimizer step; exact under "
                         "sum-loss semantics (effective batch = "
@@ -168,6 +171,7 @@ def config_from_args(args) -> Config:
             dp_size=args.dp_size,
             tp_size=args.tp_size,
             pp_size=args.pp_size,
+            pp_microbatches=args.pp_microbatches,
             zero1=args.zero1,
             optimizer_dtype=args.optimizer_dtype,
             grad_accum_steps=args.grad_accum_steps,

@@ -199,13 +199,19 @@ class TrainConfig:
     # moment+EMA memory ~dp-fold; numerics unchanged
     # (tests/test_zero1.py).  No effect at dp_size == 1.
     zero1: bool = False
-    # pipeline-parallel stage count (must be 1 for the flagship: at 2
-    # encoder + 2 decoder layers a pipeline is all bubble).  The GPipe
-    # primitive itself IS implemented — parallel/pipeline.py: microbatch
-    # schedule inside shard_map, ppermute stage hand-offs, exact under
-    # sum-loss semantics, output+gradient parity in tests/test_pipeline.py
-    # — and is what a deeper trunk would enable here.
+    # pipeline-parallel stage count: the clip-encoder and decoder trunks
+    # route through the GPipe primitive (parallel/pipeline.py) on a
+    # dp×pp mesh — params stacked per layer and sharded over pp,
+    # microbatched activations hand-to-hand over ICI via ppermute.
+    # Trajectory-identical to pp=1 (sum losses make microbatching exact;
+    # tests/test_pipeline.py proves loss+grads+K-step parity through
+    # train()).  num_hidden_layers must divide by pp; tp × pp is not
+    # implemented (use dp × pp).  Worth it only for deeper trunks — at
+    # the flagship's 2+2 layers the bubble dominates (docs/DESIGN.md §5).
     pp_size: int = 1
+    # microbatches per gpipe dispatch (0 = auto: 2 * pp_size, clamped to
+    # a divisor of the per-dp-shard batch axis)
+    pp_microbatches: int = 0
     donate_state: bool = True
     # clip packing (data/packing.py): compute only real clips instead of
     # the padded (B, S) grid, with video-span bucketing.  Bit-equivalent
@@ -252,14 +258,12 @@ class TrainConfig:
                 "(accumulation already splits the optimizer step across "
                 "dispatches; scanning accumulation groups is not "
                 "implemented)")
-        if self.pp_size != 1:
+        if self.pp_size < 1:
+            raise ValueError("pp_size must be >= 1")
+        if self.pp_size > 1 and self.tp_size > 1:
             raise NotImplementedError(
-                "pipeline-parallel training is not enabled for this "
-                "model: at 2 encoder + 2 decoder layers a pipeline is all "
-                "bubble, so use dp_size/tp_size to scale it.  The GPipe "
-                "primitive a deeper trunk would plug in is implemented "
-                "and tested (svpc_tpu/parallel/pipeline.py, "
-                "tests/test_pipeline.py; docs/DESIGN.md §5).")
+                "tp × pp composition is not implemented; scale with "
+                "dp × pp (pp_size) or dp × tp (tp_size)")
 
 
 @dataclass(frozen=True)

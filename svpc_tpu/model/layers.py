@@ -188,17 +188,62 @@ class EncoderLayer(nn.Module):
         return OutputBlock(self.cfg, name="output")(inter, attn_out, deterministic)
 
 
+def _pp_rng_setup(module, mesh, n_micro: int):
+    """Per-microbatch dropout-key DATA for a pipelined trunk.
+
+    Typed PRNG keys don't ride through the pipeline's zero-initialized
+    carries, so the raw uint32 key data travels in the activation pytree
+    and each stage re-wraps it.  Returns ``(key_data (n_micro, ksz),
+    impl_spec_or_None)``; stages fold in the dp axis index so dropout
+    masks stay decorrelated across data-parallel shards, and fold a
+    constant per layer so consecutive layers draw independent masks.
+    Handles both typed keys (jax.random.key — the train loop's rbg
+    stream) and legacy uint32 PRNGKey arrays (impl None)."""
+    base = module.make_rng("dropout")
+    if jnp.issubdtype(base.dtype, jax.dtypes.prng_key):
+        impl = jax.random.key_impl(base)
+        kd = jax.random.key_data(jax.random.split(base, n_micro))
+    else:  # legacy (2,) uint32 key array — already raw data
+        impl = None
+        kd = jax.random.split(base, n_micro)
+    return kd, impl
+
+
+def _pp_stage_rngs(kd, impl, mesh):
+    """(dropout rngs dict for this stage, next microbatch key data)."""
+    key = kd if impl is None else jax.random.wrap_key_data(kd, impl=impl)
+    local = key
+    if "dp" in mesh.shape:
+        local = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+    nxt = jax.random.fold_in(key, 1)
+    if impl is not None:
+        nxt = jax.random.key_data(nxt)
+    return {"dropout": local}, nxt
+
+
 class Encoder(nn.Module):
     """Stack of EncoderLayers (reference BertEncoderNoMemoryUntied).
 
     ``cfg.remat`` rematerializes each layer on the backward pass
     (jax.checkpoint): only layer inputs are saved, activations are
     recomputed — same values, ~num_layers× less transformer activation
-    memory (tests/test_remat.py)."""
+    memory (tests/test_remat.py).
+
+    ``pp_mesh`` (a Mesh carrying a "pp" axis) routes the layer stack
+    through the GPipe primitive (parallel/pipeline.py): params stacked on
+    a leading layer axis and sharded over pp, microbatched activations
+    hand-to-hand over ICI via ppermute.  Same math as the sequential loop
+    (sum losses make microbatching exact; tests/test_pipeline.py), same
+    parameter tree (checkpoints are layout-identical either way)."""
     cfg: ModelConfig
+    pp_mesh: Optional[object] = None
+    pp_microbatches: int = 0
 
     @nn.compact
     def __call__(self, x, mask_1d, diagonal_mask=False, deterministic=True):
+        if self.pp_mesh is not None and not self.is_initializing():
+            return self._pp_call(x, mask_1d, diagonal_mask, deterministic)
+
         def run(layer, x, mask_1d):
             return layer(x, mask_1d, diagonal_mask, deterministic)
 
@@ -207,6 +252,50 @@ class Encoder(nn.Module):
         for i in range(self.cfg.num_hidden_layers):
             x = run(EncoderLayer(self.cfg, name=f"layer_{i}"), x, mask_1d)
         return x
+
+    def _pp_call(self, x, mask_1d, diagonal_mask, deterministic):
+        from jax.sharding import PartitionSpec as P
+        from svpc_tpu.parallel import pipeline as pl
+
+        cfg, mesh = self.cfg, self.pp_mesh
+        dp = mesh.shape.get("dp", 1)
+        n_micro = pl.auto_microbatches(x.shape[0], self.pp_microbatches,
+                                       dp, mesh.shape["pp"])
+        stacked = pl.stack_layers(
+            [self.variables["params"][f"layer_{i}"]
+             for i in range(cfg.num_hidden_layers)])
+        layer = EncoderLayer(cfg, parent=None)  # functional template
+        split = lambda a: pl.split_microbatches(a, n_micro, dp)
+        mb = P(None, "dp") if "dp" in mesh.shape else P(None)
+        need_rng = not deterministic and (
+            cfg.hidden_dropout_prob > 0
+            or cfg.attention_probs_dropout_prob > 0)
+
+        if need_rng:
+            kd, impl = _pp_rng_setup(self, mesh, n_micro)
+            mbs = (split(x), split(mask_1d), kd)
+            specs = (mb, mb, P(None))
+
+            def stage(p, act):
+                h, m, k = act
+                rngs, nxt = _pp_stage_rngs(k, impl, mesh)
+                y = layer.apply({"params": p}, h, m, diagonal_mask,
+                                False, rngs=rngs)
+                return y, m, nxt
+        else:
+            mbs = (split(x), split(mask_1d))
+            specs = (mb, mb)
+
+            def stage(p, act):
+                h, m = act
+                y = layer.apply({"params": p}, h, m, diagonal_mask,
+                                deterministic)
+                return y, m
+
+        out = pl.gpipe(stage, stacked, mbs, mesh,
+                       batch_axis="dp" if "dp" in mesh.shape else None,
+                       mb_specs=specs, remat=cfg.remat)
+        return pl.merge_microbatches(out[0], dp)
 
 
 class DecoderLayer(nn.Module):
@@ -275,13 +364,23 @@ class DecoderLayer(nn.Module):
 
 
 class Decoder(nn.Module):
+    """``pp_mesh`` pipelines the layer stack exactly like Encoder's
+    (GPipe over the "pp" mesh axis); the incremental ``step``/
+    ``project_enc_kv`` decode path stays sequential — per-token KV-cached
+    work is latency-bound, not trunk-bound."""
     cfg: ModelConfig
+    pp_mesh: Optional[object] = None
+    pp_microbatches: int = 0
 
     def setup(self):
         self.layers = [DecoderLayer(self.cfg, name=f"layer_{i}")
                        for i in range(self.cfg.num_hidden_layers)]
 
     def __call__(self, dec, dec_mask, enc_out, enc_mask, deterministic=True):
+        if self.pp_mesh is not None and not self.is_initializing():
+            return self._pp_call(dec, dec_mask, enc_out, enc_mask,
+                                 deterministic)
+
         def run(layer, dec, dec_mask, enc_out, enc_mask):
             return layer(dec, dec_mask, enc_out, enc_mask, deterministic)
 
@@ -292,6 +391,51 @@ class Decoder(nn.Module):
         for layer in self.layers:
             dec = run(layer, dec, dec_mask, enc_out, enc_mask)
         return dec
+
+    def _pp_call(self, dec, dec_mask, enc_out, enc_mask, deterministic):
+        from jax.sharding import PartitionSpec as P
+        from svpc_tpu.parallel import pipeline as pl
+
+        cfg, mesh = self.cfg, self.pp_mesh
+        dp = mesh.shape.get("dp", 1)
+        n_micro = pl.auto_microbatches(dec.shape[0], self.pp_microbatches,
+                                       dp, mesh.shape["pp"])
+        stacked = pl.stack_layers(
+            [self.variables["params"][f"layer_{i}"]
+             for i in range(cfg.num_hidden_layers)])
+        layer = DecoderLayer(cfg, parent=None)  # functional template
+        split = lambda a: pl.split_microbatches(a, n_micro, dp)
+        mb = P(None, "dp") if "dp" in mesh.shape else P(None)
+        need_rng = not deterministic and (
+            cfg.hidden_dropout_prob > 0
+            or cfg.attention_probs_dropout_prob > 0)
+
+        if need_rng:
+            kd, impl = _pp_rng_setup(self, mesh, n_micro)
+            mbs = (split(dec), split(dec_mask), split(enc_out),
+                   split(enc_mask), kd)
+            specs = (mb, mb, mb, mb, P(None))
+
+            def stage(p, act):
+                d, m, eo, em, k = act
+                rngs, nxt = _pp_stage_rngs(k, impl, mesh)
+                y = layer.apply({"params": p}, d, m, eo, em, False,
+                                rngs=rngs)
+                return y, m, eo, em, nxt
+        else:
+            mbs = (split(dec), split(dec_mask), split(enc_out),
+                   split(enc_mask))
+            specs = (mb, mb, mb, mb)
+
+            def stage(p, act):
+                d, m, eo, em = act
+                y = layer.apply({"params": p}, d, m, eo, em, deterministic)
+                return y, m, eo, em
+
+        out = pl.gpipe(stage, stacked, mbs, mesh,
+                       batch_axis="dp" if "dp" in mesh.shape else None,
+                       mb_specs=specs, remat=cfg.remat)
+        return pl.merge_microbatches(out[0], dp)
 
     def project_enc_kv(self, enc_out):
         """Per-layer cross-attention (K, V) of the static encoder memory —

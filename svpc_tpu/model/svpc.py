@@ -78,7 +78,15 @@ class EncodedState(NamedTuple):
 
 
 class SVPCModel(nn.Module):
+    """``pp_mesh`` (a Mesh with a "pp" axis) pipelines the clip-encoder
+    and decoder trunks via GPipe (parallel/pipeline.py) — the
+    ``cli.train --pp_size`` path.  The step_wise_encoder stays sequential
+    (S <= 16 tokens of work; a pipeline there is all bubble).  The param
+    tree is identical either way, so checkpoints / interop / decay
+    grouping are unaffected."""
     cfg: ModelConfig
+    pp_mesh: Optional[Any] = None
+    pp_microbatches: int = 0
 
     @property
     def compute_dtype(self):
@@ -91,7 +99,8 @@ class SVPCModel(nn.Module):
         self.video_embeddings = VideoEmbeddings(cfg)
         self.text_embeddings = TextEmbeddings(cfg)
         self.token_type_embeddings = TokenTypeEmbeddings(cfg)
-        self.encoder = Encoder(cfg)
+        self.encoder = Encoder(cfg, pp_mesh=self.pp_mesh,
+                               pp_microbatches=self.pp_microbatches)
         self.step_wise_encoder = Encoder(cfg)
         dt = self.compute_dtype
         if cfg.model_mode in ("full", "reason_copy"):
@@ -100,7 +109,8 @@ class SVPCModel(nn.Module):
                                 dtype=dt)
             self.Went = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg),
                                  dtype=dt)
-        self.decoder = Decoder(cfg)
+        self.decoder = Decoder(cfg, pp_mesh=self.pp_mesh,
+                               pp_microbatches=self.pp_microbatches)
         self.decoder_classifier = LMPredictionHead(cfg)
         if cfg.model_mode in ("full", "reason_copy", "copy"):
             self.pointer_generator = PointerGenerator(cfg)

@@ -20,14 +20,24 @@ from jax.sharding import PartitionSpec as P
 
 
 def make_mesh(dp_size: Optional[int] = None, tp_size: int = 1,
-              devices=None) -> Mesh:
+              pp_size: int = 1, devices=None) -> Mesh:
+    """dp×tp mesh, or dp×pp when ``pp_size > 1`` (pp innermost so
+    pipeline-neighbor ``ppermute`` hops ride adjacent ICI links)."""
     devices = devices if devices is not None else jax.devices()
     if dp_size is None:
-        dp_size = max(len(devices) // tp_size, 1)
-    n = dp_size * tp_size
+        dp_size = max(len(devices) // (tp_size * pp_size), 1)
+    n = dp_size * tp_size * pp_size
     if n > len(devices):
         raise ValueError(
-            f"mesh {dp_size}x{tp_size} needs {n} devices, have {len(devices)}")
+            f"mesh {dp_size}x{tp_size}x{pp_size} needs {n} devices, "
+            f"have {len(devices)}")
+    if pp_size > 1:
+        if tp_size > 1:
+            raise NotImplementedError(
+                "tp × pp composition is not implemented; use dp × pp "
+                "(TrainConfig.pp_size) or dp × tp (tp_size)")
+        arr = np.array(devices[:n]).reshape(dp_size, pp_size)
+        return Mesh(arr, ("dp", "pp"))
     arr = np.array(devices[:n]).reshape(dp_size, tp_size)
     return Mesh(arr, ("dp", "tp"))
 
@@ -151,7 +161,8 @@ def param_partition_spec(path: tuple) -> P:
     return P()
 
 
-def zero1_partition_spec(path: tuple, shape: tuple, dp: int, tp: int) -> P:
+def zero1_partition_spec(path: tuple, shape: tuple, dp: int, tp: int,
+                         has_tp: bool = True) -> P:
     """Sharding rule for one optimizer-moment / EMA-shadow leaf (ZeRO-1).
 
     The reference has no distributed optimizer at all (SURVEY §2.4).  Here
@@ -168,7 +179,9 @@ def zero1_partition_spec(path: tuple, shape: tuple, dp: int, tp: int) -> P:
     first free, divisible dimension; leaves with no divisible dimension
     replicate over dp (scalars, tiny biases).
     """
-    base = param_partition_spec(path)
+    # on a mesh without a tp axis (dp×pp) the TP layout degenerates to
+    # replication and only the dp fold below applies
+    base = param_partition_spec(path) if has_tp else P()
     spec = list(base) + [None] * (len(shape) - len(base))
     for d, ax in enumerate(spec):
         # mirror shard_params' TP divisibility fallback
@@ -194,10 +207,11 @@ def shard_state_zero1(mesh: Mesh, state: Any) -> Any:
     (train/loop.py)."""
     dp = mesh.shape.get("dp", 1)
     tp = mesh.shape.get("tp", 1)
+    has_tp = "tp" in mesh.shape
 
     def place(path, x):
         spec = zero1_partition_spec(path, tuple(getattr(x, "shape", ())),
-                                    dp, tp)
+                                    dp, tp, has_tp=has_tp)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     opt = jax.tree_util.tree_map_with_path(place, state.opt_state)
@@ -230,6 +244,10 @@ def shard_params(mesh: Mesh, params: Any, report: Optional[dict] = None) -> Any:
 
     def place(path, x):
         spec = param_partition_spec(path)
+        if "tp" not in mesh.shape and spec != P():
+            # dp×pp mesh: no tp axis — params replicate (every rule in
+            # param_partition_spec is a TP rule)
+            spec = P()
         for dim, axis in enumerate(spec):
             if axis is not None and x.shape[dim] % tp != 0:
                 if report is not None:

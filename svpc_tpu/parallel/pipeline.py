@@ -8,14 +8,16 @@ autodiff derive the reversed backward pipeline.  Because every loss in
 this codebase is a SUM over examples, microbatching is mathematically
 exact (same argument as gradient accumulation, tests/test_accum.py).
 
-The flagship SVPC model does NOT enable this for training — at 2 encoder
-+ 2 decoder layers a pipeline is all bubble (``TrainConfig.pp_size``
-documents that judgment) — but the primitive is real, differentiable,
-composes with the ``dp`` axis, and is what a deeper trunk would plug
-into.  ``tests/test_pipeline.py`` proves output and gradient parity
-against the sequential stack on a multi-device mesh, driving the model's
-own ``EncoderLayer`` as the stage body; ``__graft_entry__.py`` runs it in
-the multichip dryrun.
+``cli.train --pp_size N`` routes the model's clip-encoder and decoder
+trunks through this primitive (model/layers.py ``Encoder._pp_call`` /
+``Decoder._pp_call``: params stacked per layer and sharded over pp,
+activations microbatched with ``split_microbatches``, dropout keys
+threaded per microbatch as raw key data).  Trajectory-identical to pp=1
+— ``tests/test_pipeline.py`` proves output+gradient parity for the raw
+primitive AND loss/grad/K-step parity through the real model and
+``train()``; ``__graft_entry__.py`` trains a 4+4-layer variant under
+dp×pp in the multichip dryrun.  Worth enabling only for deeper trunks:
+at the flagship's 2+2 layers the bubble dominates (docs/DESIGN.md §5).
 
 Schedule: plain GPipe (all microbatches forward per stage, backward by
 transposition).  For ``n`` microbatches and ``pp`` stages the pipeline
@@ -50,6 +52,48 @@ def stack_layers(per_layer_params: list) -> Pytree:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_layer_params)
 
 
+def auto_microbatches(n: int, requested: int, dp: int, pp: int) -> int:
+    """Microbatch count for a batch axis of ``n`` rows under dp shards.
+
+    Every microbatch must take an equal slice of every dp shard
+    (``split_microbatches``), so the count must divide ``n // dp``.
+    ``requested`` <= 0 targets ``2 * pp`` (bubble fraction
+    ``(pp-1)/(2pp+pp-1)`` ~ 1/3 at pp=2 without inflating activation
+    memory); either way the result is clamped to the largest feasible
+    divisor, never an error — shapes are static so this is a trace-time
+    decision.
+    """
+    per = max(n // max(dp, 1), 1)
+    want = requested if requested > 0 else 2 * pp
+    k = max(1, min(want, per))
+    while per % k:
+        k -= 1
+    return k
+
+
+def split_microbatches(x: jnp.ndarray, n_micro: int, dp: int = 1
+                       ) -> jnp.ndarray:
+    """``(N, ...)`` -> ``(n_micro, N/n_micro, ...)`` such that microbatch
+    ``i`` takes the i-th equal slice of EVERY dp shard of the batch axis —
+    a shard-local reshape (no cross-shard data movement when the batch
+    axis is dp-sharded).  ``merge_microbatches`` is the exact inverse."""
+    N = x.shape[0]
+    per = N // dp
+    m = per // n_micro
+    x = x.reshape((dp, n_micro, m) + x.shape[1:])
+    x = jnp.swapaxes(x, 0, 1)
+    return x.reshape((n_micro, dp * m) + x.shape[3:])
+
+
+def merge_microbatches(x: jnp.ndarray, dp: int = 1) -> jnp.ndarray:
+    """Inverse of :func:`split_microbatches`."""
+    n_micro, bm = x.shape[:2]
+    m = bm // dp
+    x = x.reshape((n_micro, dp, m) + x.shape[2:])
+    x = jnp.swapaxes(x, 0, 1)
+    return x.reshape((dp * n_micro * m,) + x.shape[3:])
+
+
 def gpipe(stage_fn: Callable[[Pytree, Pytree], Pytree],
           stacked_params: Pytree,
           microbatches: Pytree,
@@ -57,6 +101,7 @@ def gpipe(stage_fn: Callable[[Pytree, Pytree], Pytree],
           *,
           pp_axis: str = "pp",
           batch_axis: Optional[str] = None,
+          mb_specs: Optional[Pytree] = None,
           remat: bool = False) -> Pytree:
     """Run ``microbatches`` through a layer stack pipelined over ``pp_axis``.
 
@@ -74,6 +119,11 @@ def gpipe(stage_fn: Callable[[Pytree, Pytree], Pytree],
         additionally sharded over that mesh axis (data parallelism
         composed with the pipeline).
       mesh: mesh carrying ``pp_axis`` (and optionally ``batch_axis``).
+      mb_specs: optional per-leaf PartitionSpec pytree (same structure as
+        ``microbatches``) overriding the uniform ``P(None, batch_axis)``
+        layout — needed when some activation leaves are NOT batch-shaped
+        (e.g. a per-microbatch dropout-key data leaf rides replicated as
+        ``P(None)``).  Output leaves reuse the same specs.
       remat: wrap each layer application in ``jax.checkpoint`` so the
         backward pipeline rematerializes instead of storing every tick's
         intermediates (the 1F1B memory story, see module docstring).
@@ -142,10 +192,11 @@ def gpipe(stage_fn: Callable[[Pytree, Pytree], Pytree],
             jnp.where(onlast, b, jnp.zeros_like(b)), pp_axis), out_buf)
 
     tmap = jax.tree_util.tree_map
-    mb_spec = P(None, batch_axis) if batch_axis else P()
-    in_specs = (tmap(lambda _: P(pp_axis), stacked_params),
-                tmap(lambda _: mb_spec, microbatches))
-    out_specs = tmap(lambda _: mb_spec, microbatches)
+    if mb_specs is None:
+        mb_spec = P(None, batch_axis) if batch_axis else P()
+        mb_specs = tmap(lambda _: mb_spec, microbatches)
+    in_specs = (tmap(lambda _: P(pp_axis), stacked_params), mb_specs)
+    out_specs = mb_specs
     fn = jax.shard_map(shard_fn, mesh=mesh,
                        in_specs=in_specs, out_specs=out_specs)
     return fn(stacked_params, microbatches)

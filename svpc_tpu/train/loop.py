@@ -72,14 +72,19 @@ def load_glove_into(params, glove_path: str, verb_glove_path: str,
 
 
 def init_model(cfg: Config, sample_batch, rng_seed: int = None,
-               abstract: bool = False):
+               abstract: bool = False, mesh=None):
     """Build the model and its params.
 
     ``abstract=True`` returns a ShapeDtypeStruct pytree via eval_shape (no
     compile, no device memory) — the right template for checkpoint restore.
-    """
+    A ``mesh`` carrying a pp axis > 1 builds the model with its trunks
+    routed through the GPipe pipeline (same param tree — init always runs
+    the sequential path)."""
     seed = cfg.train.seed if rng_seed is None else rng_seed
-    model = SVPCModel(cfg.model)
+    pp_mesh = (mesh if mesh is not None
+               and mesh.shape.get("pp", 1) > 1 else None)
+    model = SVPCModel(cfg.model, pp_mesh=pp_mesh,
+                      pp_microbatches=cfg.train.pp_microbatches)
     rngs = {"params": jax.random.PRNGKey(seed),
             "dropout": jax.random.PRNGKey(seed + 1),
             "gumbel": jax.random.PRNGKey(seed + 2)}
@@ -324,8 +329,15 @@ def train(cfg: Config, workdir: str,
     train_ds = CaptionDataset(cfg, "train", lazy_features=True)
     val_ds = CaptionDataset(cfg, "val", lazy_features=True)
     logger.info("train videos: %d, val videos: %d", len(train_ds), len(val_ds))
-    mesh = make_mesh(cfg.train.dp_size, cfg.train.tp_size) \
-        if cfg.train.dp_size * cfg.train.tp_size > 1 else None
+    if cfg.train.pp_size > 1 \
+            and cfg.model.num_hidden_layers % cfg.train.pp_size:
+        raise ValueError(
+            f"pp_size={cfg.train.pp_size} must divide num_hidden_layers="
+            f"{cfg.model.num_hidden_layers} (each pipeline stage takes an "
+            "equal contiguous block of trunk layers)")
+    mesh_n = cfg.train.dp_size * cfg.train.tp_size * cfg.train.pp_size
+    mesh = make_mesh(cfg.train.dp_size, cfg.train.tp_size,
+                     cfg.train.pp_size) if mesh_n > 1 else None
     if len(val_ds):
         # cap at the dataset size, rounded to a dp-mesh multiple so the
         # padded eval batches shard cleanly
@@ -333,7 +345,7 @@ def train(cfg: Config, workdir: str,
             val_batch_size=eval_batch_size(cfg, len(val_ds), mesh))
 
     sample_batch, _ = next(iter(train_ds.batches(cfg.train.batch_size)))
-    model, params = init_model(cfg, sample_batch)
+    model, params = init_model(cfg, sample_batch, mesh=mesh)
     params = load_glove_into(params, cfg.data.glove_path,
                              cfg.data.verb_glove_path, cfg.model.model_mode,
                              cfg.model.padded_vocab_size)

@@ -150,3 +150,202 @@ def test_gpipe_layer_count_must_divide():
            mask.reshape(2, -1, mask.shape[1]))
     with pytest.raises(ValueError, match="divide"):
         gpipe(stage_fn, stacked, mbs, mesh)
+
+
+def test_microbatch_split_merge_roundtrip_and_auto():
+    import jax.numpy as jnp
+    from svpc_tpu.parallel.pipeline import (
+        auto_microbatches, merge_microbatches, split_microbatches)
+
+    x = jnp.arange(24 * 5).reshape(24, 5)
+    for n_micro, dp in [(4, 2), (3, 1), (1, 4), (2, 3)]:
+        mb = split_microbatches(x, n_micro, dp)
+        assert mb.shape == (n_micro, 24 // n_micro, 5)
+        np.testing.assert_array_equal(
+            np.asarray(merge_microbatches(mb, dp)), np.asarray(x))
+    # auto: targets 2*pp, clamped to a divisor of the per-shard rows
+    assert auto_microbatches(32, 0, dp=2, pp=2) == 4
+    assert auto_microbatches(32, 8, dp=2, pp=2) == 8
+    assert auto_microbatches(24, 0, dp=2, pp=4) == 6   # 12 % 8 != 0 -> 6
+    assert auto_microbatches(2, 0, dp=2, pp=2) == 1    # degenerate
+
+
+# --------------------------------------------------------------------- #
+# the REAL model under --pp_size (round-2 VERDICT item 2)
+# --------------------------------------------------------------------- #
+
+def _pp_model_setup(n_layers=4, batch=4, dropout0=False):
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.config import tiny_test_config
+    from svpc_tpu.data.synthetic import synthetic_batch
+    from svpc_tpu.model import SVPCModel
+    from svpc_tpu.parallel.mesh import make_mesh, shard_batch
+
+    cfg = tiny_test_config("full").replace_model(num_hidden_layers=n_layers)
+    if dropout0:
+        # the pipelined trunk deliberately folds dropout keys per
+        # microbatch (a different stream than the sequential path), so
+        # trajectory comparisons must run with dropout off — and the
+        # MODELS must be built from the dropout-0 config, not just the
+        # optimizer
+        cfg = cfg.replace_model(hidden_dropout_prob=0.0,
+                                attention_probs_dropout_prob=0.0)
+    cfg = cfg.replace_train(batch_size=batch, dp_size=2, pp_size=2)
+    mesh = make_mesh(2, 1, 2)
+    batch_np = synthetic_batch(cfg, batch, seed=0)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    seq_model = SVPCModel(cfg.model)
+    params = seq_model.init(
+        rngs, {k: jnp.asarray(v) for k, v in batch_np.items()},
+        deterministic=True)
+    pp_model = SVPCModel(cfg.model, pp_mesh=mesh)
+    return cfg, mesh, seq_model, pp_model, params, shard_batch(mesh, batch_np)
+
+
+def test_pp_model_loss_and_grads_match_sequential():
+    """SVPCModel with its encoder/decoder trunks routed through GPipe
+    (dp2×pp2 mesh) must match the sequential model: loss bitwise, per-leaf
+    gradients to reduction-order tolerance.  Same param tree both ways."""
+    import jax
+    import jax.numpy as jnp
+
+    assert len(jax.devices()) >= 4
+    cfg, mesh, seq_model, pp_model, params, sharded = _pp_model_setup()
+
+    def loss_fn(model):
+        def f(p):
+            out = model.apply({"params": p}, sharded, deterministic=True,
+                              rngs={"gumbel": jax.random.PRNGKey(3)})
+            return out.total_loss
+        return f
+
+    l_s, g_s = jax.jit(jax.value_and_grad(loss_fn(seq_model)))(
+        params["params"])
+    l_p, g_p = jax.jit(jax.value_and_grad(loss_fn(pp_model)))(
+        params["params"])
+    assert float(l_p) == float(l_s)  # forward is the same math, same order
+    gscale = max(np.abs(np.asarray(l)).max() for l in jax.tree.leaves(g_s))
+    flat_s = dict(jax.tree_util.tree_leaves_with_path(g_s))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g_p):
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_s[path]),
+            rtol=1e-4, atol=1e-5 * gscale,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def _delta_l2_ratio(got_tree, want_tree, init_tree):
+    """|| (got-init) - (want-init) ||_2 / || want-init ||_2 over the whole
+    pytree — the right trajectory metric under BertAdam: its m/sqrt(v)
+    normalization is sign-like, so elements whose gradient sits at the
+    f32 reduction-noise floor flip update SIGN between two correct
+    runs (2*lr per flip); a per-element rtol would need to be as large
+    as the whole update to pass, while the aggregate ratio stays tiny
+    because flips only happen at noise-level-gradient elements."""
+    import jax
+    num = den = 0.0
+    for g, w, i in zip(jax.tree.leaves(got_tree), jax.tree.leaves(want_tree),
+                       jax.tree.leaves(init_tree)):
+        g, w, i = (np.asarray(g, np.float64), np.asarray(w, np.float64),
+                   np.asarray(i, np.float64))
+        num += float(np.sum(((g - i) - (w - i)) ** 2))
+        den += float(np.sum((w - i) ** 2))
+    assert den > 0, "trajectory did not move"
+    return (num / den) ** 0.5
+
+
+def test_pp_model_train_trajectory_matches_pp1():
+    """K=3 real train steps (loss+grads+global clip+BertAdam+EMA) under
+    dp2×pp2 track the pp=1 trajectory: per-step losses to 1e-3 and the
+    parameter/EMA deltas to <=2% aggregate L2 (see _delta_l2_ratio for
+    why per-element comparison is ill-posed under BertAdam).  Dropout 0:
+    the pipelined trunk folds dropout keys per microbatch by design (a
+    seed-like change), so the comparison pins everything else."""
+    import jax
+    from svpc_tpu.train.optim import make_optimizer
+    from svpc_tpu.train.state import TrainState
+    from svpc_tpu.train.step import make_train_step
+
+    assert len(jax.devices()) >= 4
+    cfg, mesh, seq_model, pp_model, params, sharded = _pp_model_setup(
+        dropout0=True)
+    tx = make_optimizer(cfg.train, steps_per_epoch=10,
+                        model_mode=cfg.model.model_mode,
+                        n_layers=cfg.model.num_hidden_layers)
+
+    def run(model):
+        state = TrainState.create(
+            jax.tree.map(lambda x: x, params), tx, use_ema=True)
+        step = jax.jit(make_train_step(model, tx, cfg))
+        rng = jax.random.PRNGKey(9)
+        losses = []
+        for _ in range(3):
+            state, m = step(state, sharded, rng)
+            losses.append(float(m["loss"]))
+        return state, losses
+
+    s_seq, l_seq = run(seq_model)
+    s_pp, l_pp = run(pp_model)
+    np.testing.assert_allclose(l_pp, l_seq, rtol=1e-3)
+    assert _delta_l2_ratio(s_pp.params, s_seq.params, params) <= 0.02
+    assert _delta_l2_ratio(s_pp.ema_shadow, s_seq.ema_shadow,
+                           params["params"]) <= 0.02
+
+
+def test_pp_train_e2e_matches_pp1(tmp_path):
+    """`train()` — the cli.train surface — runs end-to-end with
+    --pp_size 2 on a 4+4-layer variant (dp2×pp2 mesh) and reproduces the
+    pp=1 run's per-epoch train losses (dropout 0)."""
+    import json
+    import jax
+    from tests import reference_bridge as rb
+
+    if not rb.reference_available():
+        pytest.skip("reference repo not mounted")
+    assert len(jax.devices()) >= 4
+    names, feat_dir, dur_file = rb.setup_features(3)
+    dims = dict(rb.DIMS, num_hidden_layers=4, hidden_dropout_prob=0.0,
+                attention_probs_dropout_prob=0.0)
+    cfg, _ = rb.build_ours("full", feat_dir, dur_file, dims=dims)
+    base = cfg.replace_train(batch_size=2, val_batch_size=2, n_epoch=1,
+                             ema_decay=0.9999)
+
+    from svpc_tpu.data.pipeline import CaptionDataset
+    from svpc_tpu.train import loop as loop_mod
+
+    orig_init = CaptionDataset.__init__
+
+    def patched_init(self, c, split, **kw):
+        orig_init(self, c, "val", **kw)
+        self.split = split
+
+    CaptionDataset.__init__ = patched_init
+    try:
+        loop_mod.train(base.replace_train(dp_size=2, pp_size=2),
+                       str(tmp_path / "pp2"), max_steps_per_epoch=2,
+                       eval_language=False, tensorboard=False)
+        loop_mod.train(base, str(tmp_path / "pp1"), max_steps_per_epoch=2,
+                       eval_language=False, tensorboard=False)
+    finally:
+        CaptionDataset.__init__ = orig_init
+
+    h_pp = json.load(open(tmp_path / "pp2" / "history.json"))
+    h_1 = json.load(open(tmp_path / "pp1" / "history.json"))
+    assert len(h_pp) == len(h_1) == 1
+    np.testing.assert_allclose(h_pp[0]["train"]["loss_per_word"],
+                               h_1[0]["train"]["loss_per_word"], rtol=1e-5)
+
+
+def test_pp_size_must_divide_layers(tmp_path):
+    from tests import reference_bridge as rb
+
+    if not rb.reference_available():
+        pytest.skip("reference repo not mounted")
+    names, feat_dir, dur_file = rb.setup_features(3)
+    cfg, _ = rb.build_ours("video", feat_dir, dur_file,
+                           dims=dict(rb.DIMS, num_hidden_layers=3))
+    from svpc_tpu.train.loop import train
+    with pytest.raises(ValueError, match="divide num_hidden_layers"):
+        train(cfg.replace_train(pp_size=2, dp_size=1), str(tmp_path))
