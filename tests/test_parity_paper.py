@@ -76,6 +76,99 @@ def test_forward_parity_paper_geometry(paper_setup):
                                    err_msg=f"scores mismatch ex {b}")
 
 
+@pytest.fixture(scope="module")
+def paper_ours():
+    """Our model alone at the paper geometry (no torch build): the
+    packed/beam production-layout gates (round-2 VERDICT item 4) compare
+    the framework against itself, so reference weights are unnecessary —
+    a seeded random init at 768-d exercises the same programs."""
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.data.pipeline import batch_examples
+    from svpc_tpu.model import SVPCModel
+
+    names, feat_dir, dur_file = rb.setup_features(
+        N_VIDEOS, feat_dims=(2048, 1024), tag="_paper")
+    cfg, ds = rb.build_ours("full", feat_dir, dur_file,
+                            geom=rb.PAPER_GEOM, dims=rb.PAPER_DIMS)
+    model = SVPCModel(cfg.model)
+    batch = batch_examples([ds[i] for i in range(N_VIDEOS)])
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rngs = {"params": jax.random.PRNGKey(42),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    params = model.init(rngs, jbatch, deterministic=True)
+    from svpc_tpu.data.packing import pack_batch
+    packed = pack_batch(batch, cfg.model.max_t_len, clip_multiple=16)
+    jpacked = {k: jnp.asarray(v) for k, v in packed.items()}
+    return cfg, model, params, jbatch, jpacked
+
+
+def test_packed_matches_dense_paper_geometry(paper_ours):
+    """The production training layout (packed clips) must reproduce the
+    dense grid at the FLAGSHIP geometry — losses and real-step prediction
+    scores — turning BASELINE.md's one-off chip observation into a
+    repeatable gate."""
+    import jax
+
+    cfg, model, params, jbatch, jpacked = paper_ours
+    rngs = {"gumbel": jax.random.PRNGKey(0)}
+    out_d = model.apply(params, jbatch, deterministic=True, rngs=rngs)
+    out_p = model.apply(params, jpacked, deterministic=True, rngs=rngs)
+    np.testing.assert_allclose(float(out_p.total_loss),
+                               float(out_d.total_loss), rtol=1e-6)
+    # packed scores live per real clip; gather the dense grid's rows
+    cv = np.asarray(jpacked["clip_video"])
+    cs = np.asarray(jpacked["clip_step"])
+    cm = np.asarray(jpacked["clip_mask"]).astype(bool)
+    dense_rows = np.asarray(out_d.prediction_scores)[cv[cm], cs[cm]]
+    packed_rows = np.asarray(out_p.prediction_scores)[cm, 0]
+    # XLA tiles the 768-d encoder matmuls differently at the two batch
+    # shapes (B*S=24 dense rows vs N=32 packed rows), so scores carry
+    # f32 reduction-order noise (measured 3.3e-5 rel on 0.01% of
+    # elements); the DECISION-level invariant — greedy tokens exactly
+    # equal — is the next test
+    np.testing.assert_allclose(packed_rows, dense_rows,
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_packed_greedy_matches_dense_paper_geometry(paper_ours):
+    """Greedy tokens from the packed layout equal the dense grid's
+    token-for-token at 768-d (the packed layout is what production
+    decode/eval runs)."""
+    from svpc_tpu.decode.greedy import greedy_decode
+
+    cfg, model, params, jbatch, jpacked = paper_ours
+    ids_d = np.asarray(greedy_decode(model, params, jbatch))
+    ids_p = np.asarray(greedy_decode(model, params, jpacked))
+    mask = np.asarray(jbatch["step_mask"])[..., None].astype(ids_d.dtype)
+    np.testing.assert_array_equal(ids_d * mask, ids_p)
+
+
+def test_beam_nbest_paper_geometry(paper_ours):
+    """Beam search at 768-d: beam ranking is deterministic and
+    well-ordered (scores descending, rank 0 == the n_best=1 output), and
+    the packed layout emits identical ranked hypotheses."""
+    from svpc_tpu.decode.beam import beam_decode
+
+    cfg, model, params, jbatch, jpacked = paper_ours
+    tokens, scores = beam_decode(model, params, jbatch, beam_size=3,
+                                 n_best=2)
+    tokens, scores = np.asarray(tokens), np.asarray(scores)
+    best = np.asarray(beam_decode(model, params, jbatch, beam_size=3))
+    np.testing.assert_array_equal(tokens[:, 0], best)
+    smask = np.asarray(jbatch["step_mask"]).astype(bool)
+    assert (scores[:, 0][smask] >= scores[:, 1][smask]).all()
+
+    p_tokens, p_scores = beam_decode(model, params, jpacked, beam_size=3,
+                                     n_best=2)
+    mask = smask[:, None, :, None]
+    np.testing.assert_array_equal(tokens * mask, np.asarray(p_tokens))
+    np.testing.assert_allclose(np.asarray(p_scores) * smask[:, None, :],
+                               scores * smask[:, None, :],
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_greedy_parity_paper_geometry(paper_setup):
     import torch
     from types import SimpleNamespace
