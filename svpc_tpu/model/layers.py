@@ -221,6 +221,57 @@ def _pp_stage_rngs(kd, impl, mesh):
     return {"dropout": local}, nxt
 
 
+def _pp_trunk_call(owner, layer, call, x, riding, deterministic):
+    """Shared GPipe dispatch for Encoder/Decoder._pp_call.
+
+    ``x`` is the evolving activation (batch-major), ``riding`` a tuple of
+    batch-major arrays each layer consumes unchanged, and
+    ``call(layer, p, h, riding, rngs)`` applies ONE layer functionally
+    (``rngs`` is None on the deterministic path).  Stacks the owner's
+    ``layer_i`` param subtrees, microbatches with dp-aligned splits,
+    threads per-microbatch dropout-key data when training, and merges
+    the pipeline output back to batch-major."""
+    from jax.sharding import PartitionSpec as P
+    from svpc_tpu.parallel import pipeline as pl
+
+    cfg, mesh = owner.cfg, owner.pp_mesh
+    dp = mesh.shape.get("dp", 1)
+    n_micro = pl.auto_microbatches(x.shape[0], owner.pp_microbatches,
+                                   dp, mesh.shape["pp"])
+    stacked = pl.stack_layers(
+        [owner.variables["params"][f"layer_{i}"]
+         for i in range(cfg.num_hidden_layers)])
+    split = lambda a: pl.split_microbatches(a, n_micro, dp)
+    mb = P(None, "dp") if "dp" in mesh.shape else P(None)
+    need_rng = not deterministic and (
+        cfg.hidden_dropout_prob > 0
+        or cfg.attention_probs_dropout_prob > 0)
+
+    if need_rng:
+        kd, impl = _pp_rng_setup(owner, mesh, n_micro)
+        mbs = (split(x),) + tuple(split(r) for r in riding) + (kd,)
+        specs = (mb,) * (1 + len(riding)) + (P(None),)
+
+        def stage(p, act):
+            h, *rest = act
+            rngs, nxt = _pp_stage_rngs(rest[-1], impl, mesh)
+            y = call(layer, p, h, tuple(rest[:-1]), rngs)
+            return (y, *rest[:-1], nxt)
+    else:
+        mbs = (split(x),) + tuple(split(r) for r in riding)
+        specs = (mb,) * (1 + len(riding))
+
+        def stage(p, act):
+            h, *rest = act
+            y = call(layer, p, h, tuple(rest), None)
+            return (y, *rest)
+
+    out = pl.gpipe(stage, stacked, mbs, mesh,
+                   batch_axis="dp" if "dp" in mesh.shape else None,
+                   mb_specs=specs, remat=cfg.remat)
+    return pl.merge_microbatches(out[0], dp)
+
+
 class Encoder(nn.Module):
     """Stack of EncoderLayers (reference BertEncoderNoMemoryUntied).
 
@@ -254,48 +305,18 @@ class Encoder(nn.Module):
         return x
 
     def _pp_call(self, x, mask_1d, diagonal_mask, deterministic):
-        from jax.sharding import PartitionSpec as P
-        from svpc_tpu.parallel import pipeline as pl
+        layer = EncoderLayer(self.cfg, parent=None)  # functional template
 
-        cfg, mesh = self.cfg, self.pp_mesh
-        dp = mesh.shape.get("dp", 1)
-        n_micro = pl.auto_microbatches(x.shape[0], self.pp_microbatches,
-                                       dp, mesh.shape["pp"])
-        stacked = pl.stack_layers(
-            [self.variables["params"][f"layer_{i}"]
-             for i in range(cfg.num_hidden_layers)])
-        layer = EncoderLayer(cfg, parent=None)  # functional template
-        split = lambda a: pl.split_microbatches(a, n_micro, dp)
-        mb = P(None, "dp") if "dp" in mesh.shape else P(None)
-        need_rng = not deterministic and (
-            cfg.hidden_dropout_prob > 0
-            or cfg.attention_probs_dropout_prob > 0)
+        def call(layer, p, h, riding, rngs):
+            (m,) = riding
+            if rngs is None:
+                return layer.apply({"params": p}, h, m, diagonal_mask,
+                                   deterministic)
+            return layer.apply({"params": p}, h, m, diagonal_mask, False,
+                               rngs=rngs)
 
-        if need_rng:
-            kd, impl = _pp_rng_setup(self, mesh, n_micro)
-            mbs = (split(x), split(mask_1d), kd)
-            specs = (mb, mb, P(None))
-
-            def stage(p, act):
-                h, m, k = act
-                rngs, nxt = _pp_stage_rngs(k, impl, mesh)
-                y = layer.apply({"params": p}, h, m, diagonal_mask,
-                                False, rngs=rngs)
-                return y, m, nxt
-        else:
-            mbs = (split(x), split(mask_1d))
-            specs = (mb, mb)
-
-            def stage(p, act):
-                h, m = act
-                y = layer.apply({"params": p}, h, m, diagonal_mask,
-                                deterministic)
-                return y, m
-
-        out = pl.gpipe(stage, stacked, mbs, mesh,
-                       batch_axis="dp" if "dp" in mesh.shape else None,
-                       mb_specs=specs, remat=cfg.remat)
-        return pl.merge_microbatches(out[0], dp)
+        return _pp_trunk_call(self, layer, call, x, (mask_1d,),
+                              deterministic)
 
 
 class DecoderLayer(nn.Module):
@@ -393,49 +414,18 @@ class Decoder(nn.Module):
         return dec
 
     def _pp_call(self, dec, dec_mask, enc_out, enc_mask, deterministic):
-        from jax.sharding import PartitionSpec as P
-        from svpc_tpu.parallel import pipeline as pl
+        layer = DecoderLayer(self.cfg, parent=None)  # functional template
 
-        cfg, mesh = self.cfg, self.pp_mesh
-        dp = mesh.shape.get("dp", 1)
-        n_micro = pl.auto_microbatches(dec.shape[0], self.pp_microbatches,
-                                       dp, mesh.shape["pp"])
-        stacked = pl.stack_layers(
-            [self.variables["params"][f"layer_{i}"]
-             for i in range(cfg.num_hidden_layers)])
-        layer = DecoderLayer(cfg, parent=None)  # functional template
-        split = lambda a: pl.split_microbatches(a, n_micro, dp)
-        mb = P(None, "dp") if "dp" in mesh.shape else P(None)
-        need_rng = not deterministic and (
-            cfg.hidden_dropout_prob > 0
-            or cfg.attention_probs_dropout_prob > 0)
+        def call(layer, p, h, riding, rngs):
+            m, eo, em = riding
+            if rngs is None:
+                return layer.apply({"params": p}, h, m, eo, em,
+                                   deterministic)
+            return layer.apply({"params": p}, h, m, eo, em, False,
+                               rngs=rngs)
 
-        if need_rng:
-            kd, impl = _pp_rng_setup(self, mesh, n_micro)
-            mbs = (split(dec), split(dec_mask), split(enc_out),
-                   split(enc_mask), kd)
-            specs = (mb, mb, mb, mb, P(None))
-
-            def stage(p, act):
-                d, m, eo, em, k = act
-                rngs, nxt = _pp_stage_rngs(k, impl, mesh)
-                y = layer.apply({"params": p}, d, m, eo, em, False,
-                                rngs=rngs)
-                return y, m, eo, em, nxt
-        else:
-            mbs = (split(dec), split(dec_mask), split(enc_out),
-                   split(enc_mask))
-            specs = (mb, mb, mb, mb)
-
-            def stage(p, act):
-                d, m, eo, em = act
-                y = layer.apply({"params": p}, d, m, eo, em, deterministic)
-                return y, m, eo, em
-
-        out = pl.gpipe(stage, stacked, mbs, mesh,
-                       batch_axis="dp" if "dp" in mesh.shape else None,
-                       mb_specs=specs, remat=cfg.remat)
-        return pl.merge_microbatches(out[0], dp)
+        return _pp_trunk_call(self, layer, call, dec,
+                              (dec_mask, enc_out, enc_mask), deterministic)
 
     def project_enc_kv(self, enc_out):
         """Per-layer cross-attention (K, V) of the static encoder memory —
