@@ -24,7 +24,7 @@ import json
 import logging
 import os
 
-from svpc_tpu.cli.common import (add_common_args, config_from_args,
+from svpc_tpu.cli.common import (add_common_args, config_from_args, reject_pp,
                                  load_eval_model)
 from svpc_tpu.data.pipeline import CaptionDataset, inference_entries
 from svpc_tpu.train.loop import run_greedy_eval
@@ -48,6 +48,7 @@ def main(argv=None):
     p.add_argument("--torch_checkpoint", action="store_true",
                    help="--checkpoint is a reference PyTorch .chkpt file")
     args = p.parse_args(argv)
+    reject_pp(args, p)
     cfg = config_from_args(args)
     if not os.path.exists(args.checkpoint):
         raise SystemExit(f"checkpoint not found: {args.checkpoint}")

@@ -121,6 +121,18 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--debug", action="store_true")
 
 
+def reject_pp(args, parser) -> None:
+    """Inference-side CLIs take the common --pp_size flag (shared arg
+    surface) but never pipeline: decode is latency-bound KV-cached work
+    where pipeline stages would only add hand-off latency.  Fail loudly
+    instead of silently ignoring the flag."""
+    if getattr(args, "pp_size", 1) > 1:
+        parser.error("--pp_size applies to cli.train only; decode runs "
+                     "the KV-cached incremental path where a pipeline "
+                     "would only add stage hand-off latency (scale "
+                     "inference with --dp_size/--tp_size instead)")
+
+
 def config_from_args(args) -> Config:
     with open(args.word2idx_path) as f:
         vocab_size = len(json.load(f))

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from svpc_tpu.cli.common import add_common_args, config_from_args
+from svpc_tpu.cli.common import add_common_args, config_from_args, reject_pp
 from svpc_tpu.config import MODE_TO_MODEL_TYPE
 from svpc_tpu.data.pipeline import CaptionDataset
 from svpc_tpu.precision import precision_scope
@@ -80,6 +80,7 @@ def main():
                    help="--checkpoint is a reference PyTorch .chkpt file; "
                         "weights are imported directly")
     args = p.parse_args()
+    reject_pp(args, p)
     cfg = config_from_args(args)
     if cfg.model.model_mode not in ("full", "reason_copy"):
         raise SystemExit("memory dump requires model_type vivt or viv")

@@ -12,7 +12,7 @@ import json
 import logging
 import os
 
-from svpc_tpu.cli.common import (add_common_args, config_from_args,
+from svpc_tpu.cli.common import (add_common_args, config_from_args, reject_pp,
                                  load_eval_model)
 from svpc_tpu.data.anet import para_reference_files
 from svpc_tpu.data.pipeline import CaptionDataset
@@ -58,6 +58,7 @@ def main():
         p.error(f"--n_best {args.n_best} cannot exceed "
                 f"--beam_size {args.beam_size} (a beam of K carries only "
                 "K ranked hypotheses)")
+    reject_pp(args, p)
     cfg = config_from_args(args)
     if not os.path.exists(args.checkpoint):
         raise SystemExit(f"checkpoint not found: {args.checkpoint}")

@@ -40,7 +40,7 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from svpc_tpu.cli.common import (add_common_args, adopt_checkpoint_sidecar,
-                                 config_from_args)
+                                 config_from_args, reject_pp)
 from svpc_tpu.serving import (CaptionService, DecodeFailure, DecodeTimeout,
                               DynamicBatcher, ServingError, dummy_example)
 
@@ -303,6 +303,7 @@ def main(argv=None):
         p.error(f"--n_best {args.n_best} cannot exceed "
                 f"--beam_size {args.beam_size}")
 
+    reject_pp(args, p)
     cfg = config_from_args(args)
     cfg, model, params = load_serving_model(cfg, args)
     # multi-chip serving: request batches shard over dp, params over the

@@ -83,7 +83,11 @@ def test_evaluate_rejects_inconsistent_beam_flags(monkeypatch, capsys):
     for bad in (["--use_beam", "--beam_size", "1", "--n_best", "2"],
                 ["--use_beam", "--beam_size", "1"],
                 ["--use_beam", "--beam_size", "2", "--n_best", "3"],
-                ["--n_best", "2"]):
+                ["--n_best", "2"],
+                # pp is a training-only capability: the shared arg
+                # surface carries the flag but inference CLIs must fail
+                # loudly instead of silently ignoring it (common.reject_pp)
+                ["--pp_size", "2"]):
         monkeypatch.setattr("sys.argv", base + bad)
         with pytest.raises(SystemExit) as e:
             evaluate.main()
