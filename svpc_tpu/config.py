@@ -93,7 +93,10 @@ class ModelConfig:
     # activation memory, enabling bigger batches / geometries.  Values
     # are unchanged (same ops re-executed; gradient parity in
     # tests/test_remat.py).  Off by default: the flagship fits
-    # comfortably, so the recompute would only cost time.
+    # comfortably, so the recompute only costs time — measured ~20%
+    # step-throughput loss at B∈{32,48} on the chip (2026-08-20), and
+    # raising B under remat does NOT recover it (the B>32 falloff is not
+    # memory pressure).  Use only for geometries that actually spill.
     remat: bool = False
 
     @property
