@@ -76,6 +76,76 @@ def test_forward_parity_paper_geometry(paper_setup):
                                    err_msg=f"scores mismatch ex {b}")
 
 
+def test_gradient_parity_paper_geometry():
+    """Per-leaf backward parity vs torch autograd AT THE FLAGSHIP
+    geometry (full mode — the superset of backward surfaces: gumbel ST,
+    copy-scatter, reasoner renormalizations, guarded losses).  Extends
+    tests/test_train_parity.py's miniature-geometry proof to the
+    experiment of record; same calibrated bound (1e-4 x global gradient
+    scale — the measured f32-vs-f64 band of either framework is ~2e-7 of
+    scale there)."""
+    import jax
+    import torch
+
+    dims = dict(rb.PAPER_DIMS, hidden_dropout_prob=0.0,
+                attention_probs_dropout_prob=0.0)
+    names, feat_dir, dur_file = rb.setup_features(
+        N_VIDEOS, feat_dims=(2048, 1024), tag="_paper")
+    ref_model, ref_ds, _ = rb.build_reference(
+        "full", feat_dir, dur_file, geom=rb.PAPER_GEOM, dims=dims)
+    cfg, ours_ds = rb.build_ours(
+        "full", feat_dir, dur_file, geom=rb.PAPER_GEOM, dims=dims)
+    rb.patch_deterministic_gumbel()
+
+    idx = list(range(N_VIDEOS))
+    inputs, metas, ingr = rb.reference_batch(ref_ds, idx)
+    ref_model.zero_grad()
+    total, *_ = ref_model(
+        inputs["input_ids_list"], inputs["video_features_list"],
+        inputs["input_masks_list"], inputs["token_type_ids_list"],
+        inputs["input_labels_list"], inputs["ingr_input_ids"],
+        inputs["ingr_masks"], inputs["ingr_sep_masks"],
+        inputs["batch_step_num"], inputs["ingr_id_dict"],
+        inputs["extra_zeros"], inputs["alignments"], inputs["actions"],
+        predict=False)
+    total.backward()
+    ref_grads = {n: p.grad.detach().numpy().copy()
+                 for n, p in ref_model.named_parameters()
+                 if p.grad is not None}
+
+    from svpc_tpu.data.pipeline import batch_examples
+    batch = batch_examples([ours_ds[i] for i in idx])
+    model, params, jbatch = rb.import_weights_into(cfg, ref_model, batch)
+
+    def loss_fn(p):
+        out = model.apply({"params": p}, jbatch, deterministic=True,
+                          rngs={"gumbel": jax.random.PRNGKey(0)})
+        return out.total_loss
+
+    np.testing.assert_allclose(float(loss_fn(params["params"])),
+                               float(total.detach()), rtol=2e-4)
+
+    from flax.traverse_util import flatten_dict
+    from svpc_tpu.model.import_torch import build_mapping
+    got = {"/".join(k): np.asarray(v) for k, v in
+           flatten_dict(jax.grad(loss_fn)(params["params"])).items()}
+    mapping = build_mapping("full", cfg.model.num_hidden_layers)
+    assert set(got) == set(mapping)
+    ref = {}
+    for f_key, (t_key, transform) in mapping.items():
+        if t_key not in ref_grads and t_key + ".weight" in ref_grads:
+            t_key = t_key + ".weight"
+        v = ref_grads[t_key]
+        ref[f_key] = v.T if transform == "T" else v
+    gscale = max(np.abs(g).max() for g in ref.values())
+    assert gscale > 0
+    for key, rg in ref.items():
+        err = np.abs(got[key] - rg).max()
+        assert err <= 1e-4 * gscale, (
+            f"leaf {key}: grad absmax err {err:.3e} "
+            f"(global scale {gscale:.3e})")
+
+
 @pytest.fixture(scope="module")
 def paper_ours():
     """Our model alone at the paper geometry (no torch build): the
