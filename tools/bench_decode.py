@@ -1,9 +1,12 @@
-"""Greedy-decode throughput on one chip (packed vs dense layouts).
+"""Decode throughput on one chip (packed vs dense layouts).
 
 Counterpart of the decode half of tools/bench_reference.py; same
-clip-count accounting (real clips per step_mask).
+clip-count accounting (real clips per step_mask).  ``--beam_size K``
+switches to batched beam search (``--n_best N`` for ranked output) —
+the serving-side production alternative to greedy.
 
 Run:  python tools/bench_decode.py [--batch_size 8] [--iters 10]
+      python tools/bench_decode.py --beam_size 3 --dtype bfloat16
 """
 
 from __future__ import annotations
@@ -25,6 +28,9 @@ def main():
     p.add_argument("--dtype", default="float32",
                    help="parity path is float32; bfloat16 for speed")
     p.add_argument("--packed", type=int, default=1)
+    p.add_argument("--beam_size", type=int, default=0,
+                   help="> 1: batched beam search instead of greedy")
+    p.add_argument("--n_best", type=int, default=1)
     args = p.parse_args()
 
     import jax
@@ -65,15 +71,25 @@ def main():
         abstract = jax.eval_shape(
             lambda: model.init(rngs, batch, deterministic=True))
         params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), abstract)
-        fn = jax.jit(lambda p, b: greedy_decode(model, p, b))
+        if args.beam_size > 1:
+            from svpc_tpu.decode.beam import beam_decode
+            fn = jax.jit(lambda p, b: beam_decode(
+                model, p, b, beam_size=args.beam_size,
+                n_best=args.n_best))
+        else:
+            fn = jax.jit(lambda p, b: greedy_decode(model, p, b))
 
-        ids = fn(params, batch)
-        ids[0, 0, 0].item()  # sync (block_until_ready is a no-op on axon)
+        def sync(out):  # block_until_ready is a no-op on axon
+            leaf = out[0] if isinstance(out, tuple) else out
+            leaf.reshape(-1)[0].item()
+
+        out = fn(params, batch)
+        sync(out)
 
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            ids = fn(params, batch)
-        ids[0, 0, 0].item()
+            out = fn(params, batch)
+        sync(out)
         dt = (time.perf_counter() - t0) / args.iters
 
     cps = total_clips / dt
@@ -82,6 +98,8 @@ def main():
         "metric": "decode_clips_per_sec_per_chip",
         "value": round(cps, 2), "unit": "clips/sec",
         "packed": bool(args.packed), "dtype": args.dtype,
+        "decoder": (f"beam{args.beam_size}_n{args.n_best}"
+                    if args.beam_size > 1 else "greedy"),
         "vs_baseline": round(vs, 2) if vs else None,
     }))
 
