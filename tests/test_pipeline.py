@@ -294,6 +294,40 @@ def test_pp_model_train_trajectory_matches_pp1():
                            params["params"]) <= 0.02
 
 
+def test_pp_composes_with_dispatch_scan_and_accum():
+    """The pipelined model must survive the other train-step wrappers:
+    K-steps-per-dispatch (shard_map inside lax.scan inside jit) and
+    gradient accumulation (grad_step + apply_step)."""
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.parallel.mesh import replicated_sharding
+    from svpc_tpu.train.optim import make_optimizer, training_rng
+    from svpc_tpu.train.state import TrainState
+    from svpc_tpu.train.step import (make_apply_step, make_grad_step,
+                                     make_multi_train_step, tree_add)
+
+    assert len(jax.devices()) >= 4
+    cfg, mesh, _, pp_model, params, sharded = _pp_model_setup()
+    cfg = cfg.replace_train(steps_per_dispatch=2)
+    tx = make_optimizer(cfg.train, 10)
+    state = jax.device_put(TrainState.create(params, tx, use_ema=True),
+                           replicated_sharding(mesh))
+
+    stacked = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (2,) + x.shape), sharded)
+    multi = jax.jit(make_multi_train_step(pp_model, tx, cfg))
+    _, m = multi(state, stacked, training_rng(3))
+    assert np.isfinite(np.asarray(m["loss"])).all()
+
+    gs = jax.jit(make_grad_step(pp_model, cfg))
+    ap = jax.jit(make_apply_step(tx, cfg))
+    g1, _ = gs(state.params["params"], sharded, jax.random.PRNGKey(5))
+    g2, _ = gs(state.params["params"], sharded, jax.random.PRNGKey(6))
+    _, m3 = ap(state, jax.jit(tree_add)(g1, g2))
+    assert np.isfinite(float(m3["grad_norm"]))
+    assert int(m3["nonfinite_skipped"]) == 0
+
+
 def test_pp_train_e2e_matches_pp1(tmp_path):
     """`train()` — the cli.train surface — runs end-to-end with
     --pp_size 2 on a 4+4-layer variant (dp2×pp2 mesh) and reproduces the
