@@ -113,25 +113,34 @@ def _synonym_set(word: str) -> frozenset:
     return frozenset(lemmas)
 
 
-# METEOR's function/en.words is corpus-frequency derived (relative
-# frequency > 1e-3); this is a hand-curated stand-in of the same
-# closed-class inventory: articles, prepositions, conjunctions, pronouns,
-# auxiliaries, common adverbial particles and punctuation.
-_FUNCTION_WORDS = frozenset("""
-a an the this that these those some any each every no all both either
-neither and or but nor so yet for if then than as because while when
-where after before until unless although though since whether once
-of in on at by with from to into onto over under above below between
-among through during against about around off out up down near
-i you he she it we they me him her us them my your his its our their
-mine yours hers ours theirs myself yourself himself herself itself
-ourselves themselves who whom whose which what
-is are was were be been being am do does did done doing have has had
-having will would shall should can could may might must ought
-not n't no nor never also just only very too quite rather there here
-now then again further once
-. , ; : ! ? ' " ` `` '' - -- ( ) [ ] { }
-""".split())
+# METEOR 1.5 derives its function-word inventory from corpus statistics:
+# every token with relative corpus frequency > 1e-3 is a function word
+# (the jar's function/en.words comes from large news corpora — data files
+# absent here).  The same RULE applied to the in-repo corpus the metric
+# actually scores — the YC2 training captions, preprocessed with the
+# identical parse_sent normalization the scorer sees — produces the
+# pinned artifact data/function_words.txt (regenerate with
+# tools/derive_function_words.py).  Honest caveat: on a small domain
+# corpus the frequency rule also captures high-frequency domain nouns
+# ("bowl", "pan" ...); that is the rule's output, not curation — a
+# misclassified content word only moves its delta weight .75 -> .25, and
+# all systems are scored under the same list.  SVPC_METEOR_FUNCTION_WORDS
+# points at an alternative list (e.g. the jar's own en.words) when one
+# is available.
+
+
+def _load_function_words() -> frozenset:
+    path = os.environ.get(
+        "SVPC_METEOR_FUNCTION_WORDS",
+        os.path.join(os.path.dirname(__file__), "data",
+                     "function_words.txt"))
+    with open(path) as f:
+        return frozenset(
+            w for w in (line.strip() for line in f
+                        if not line.startswith("#")) if w)
+
+
+_FUNCTION_WORDS = _load_function_words()
 
 
 def _is_content(word: str) -> bool:
@@ -282,7 +291,9 @@ def approximate_meteor(gts: Dict, res: Dict,
     (alpha=.85, beta=.2, gamma=.6, delta=.75, function-word weighting)
     and the spec's alignment search (max weighted matches, then min
     chunks — see _align).  NOT byte-identical to meteor-1.5.jar: the
-    residual gaps are data-only — curated function-word list, and no
+    residual gaps are the jar's own DATA FILES only — its news-corpus
+    function-word list (ours applies the same frequency rule to the
+    in-repo YC2 corpus, see _load_function_words), and no
     synonym/paraphrase modules unless WordNet data is locally
     importable."""
     ids = sorted(gts.keys(), key=str)

@@ -5,8 +5,9 @@ The reference builds its POS vocabulary with spaCy (`src/build_pos_vocab.py:
 air-gapped host.  This module is the data-free fallback: a lexicon +
 context-rule tagger specialised to the imperative cooking-caption domain,
 built entirely from artifacts already in the repo (the Bosselut verb
-vocabulary the reference ships in `cache/bosselut_verb_vocab.json` and the
-closed-class function-word inventory shared with the METEOR fallback).
+vocabulary the reference ships in `cache/bosselut_verb_vocab.json` and a
+curated closed-class inventory below — a linguistic class list, distinct
+from the METEOR fallback's corpus-frequency-derived function words).
 
 It is an **approximation**, and a measured one: rebuilding the POS
 vocabulary over the in-repo YC2 training annotations and comparing with
@@ -38,9 +39,30 @@ import json
 import re
 from typing import List, Optional, Sequence, Tuple
 
-from svpc_tpu.evaluation.meteor import _FUNCTION_WORDS
+# Closed-class inventory: articles, prepositions, conjunctions,
+# pronouns, auxiliaries, common adverbial particles, punctuation.  This
+# is a LINGUISTIC class list, deliberately NOT the METEOR fallback's
+# corpus-frequency-derived function-word list (evaluation/meteor.py):
+# METEOR 1.5's frequency rule on a cooking corpus also captures frequent
+# domain verbs/nouns ("add", "bowl"), which would wrongly suppress the
+# imperative-verb rule below (the two shared one constant until round 4).
+_CLOSED_CLASS = frozenset("""
+a an the this that these those some any each every no all both either
+neither and or but nor so yet for if then than as because while when
+where after before until unless although though since whether once
+of in on at by with from to into onto over under above below between
+among through during against about around off out up down near
+i you he she it we they me him her us them my your his its our their
+mine yours hers ours theirs myself yourself himself herself itself
+ourselves themselves who whom whose which what
+is are was were be been being am do does did done doing have has had
+having will would shall should can could may might must ought
+not n't no nor never also just only very too quite rather there here
+now then again further once
+. , ; : ! ? ' " ` `` '' - -- ( ) [ ] { }
+""".split())
 
-# Closed-class words the METEOR inventory does not carry but that never
+# Closed-class words the inventory above does not carry but that never
 # contribute VERB/NOUN occurrences in this domain: adverbial particles and
 # directionals spaCy tags ADV/ADP/PART.
 _ADVERBIAL = frozenset("""
@@ -150,7 +172,7 @@ class LexiconTagger:
         for i, w in enumerate(words):
             lw = w.lower()
             prev = words[i - 1].lower() if i else None
-            if (lw in _FUNCTION_WORDS or lw in _ADVERBIAL
+            if (lw in _CLOSED_CLASS or lw in _ADVERBIAL
                     or lw in _NUMBER_WORDS
                     or _NUMBERISH.match(w) or not _HAS_LETTER.search(lw)):
                 tags.append("OTHER")
@@ -178,7 +200,7 @@ class LexiconTagger:
                 continue
             if (lw in self.verb_forms
                     and (lw.endswith("ing") or lw.endswith("ed"))
-                    and (prev is None or prev not in _FUNCTION_WORDS)):
+                    and (prev is None or prev not in _CLOSED_CLASS)):
                 # participial use not governed by a determiner/preposition
                 tags.append("VERB")
                 continue
