@@ -98,7 +98,8 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="pipeline-parallel stage count (dp x pp mesh): "
                         "encoder/decoder trunks run the GPipe schedule "
                         "(svpc_tpu/parallel/pipeline.py); must divide "
-                        "num_hidden_layers; trajectory-identical to pp=1")
+                        "num_hidden_layers; trajectory-identical to pp=1 "
+                        "up to dropout sampling (exact with dropout 0)")
     p.add_argument("--pp_microbatches", type=int, default=0,
                    help="microbatches per pipeline dispatch (0 = auto: "
                         "2 * pp_size)")
@@ -109,8 +110,9 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="optimizer steps per device call: K > 1 scans K "
                         "stacked batches in one compiled program — same "
-                        "trajectory, K-fold fewer dispatch RPCs (requires "
-                        "grad_accum_steps=1)")
+                        "trajectory, K-fold fewer dispatch RPCs; composes "
+                        "with --grad_accum_steps (each scanned step then "
+                        "accumulates that many microbatch gradients)")
     p.add_argument("--no_pack_clips", action="store_true",
                    help="disable clip packing (compute the full padded "
                         "(B, S) step grid like the reference)")
@@ -138,7 +140,7 @@ def config_from_args(args) -> Config:
         vocab_size = len(json.load(f))
     with open(args.verb2idx_path) as f:
         action_vocab_size = len(json.load(f))
-    return Config(
+    cfg = Config(
         model=ModelConfig(
             vocab_size=vocab_size, action_vocab_size=action_vocab_size,
             model_mode=MODEL_TYPE_TO_MODE[args.model_type],
@@ -197,6 +199,11 @@ def config_from_args(args) -> Config:
             length_group=args.length_group,
             debug=args.debug),
     )
+    # fail fast with the config's own message (e.g. hidden_size not
+    # divisible by num_attention_heads) instead of a mid-compile reshape
+    # error deep inside jax
+    cfg.model.validate()
+    return cfg
 
 
 def adopt_checkpoint_sidecar(cfg: Config, checkpoint_path: str) -> Config:

@@ -39,6 +39,9 @@ class ModelConfig:
     num_attention_heads: int = 12
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.1
+    # the reasoner's action-selector dropout — the reference hardcodes
+    # p=0.4 (model.py:757); configurable so parity tests can zero it
+    reasoner_dropout_prob: float = 0.4
     layer_norm_eps: float = 1e-12
     initializer_range: float = 0.02
 
@@ -206,11 +209,17 @@ class TrainConfig:
     # route through the GPipe primitive (parallel/pipeline.py) on a
     # dp×pp mesh — params stacked per layer and sharded over pp,
     # microbatched activations hand-to-hand over ICI via ppermute.
-    # Trajectory-identical to pp=1 (sum losses make microbatching exact;
+    # Trajectory-identical to pp=1 up to dropout sampling — the pipelined
+    # trunk folds dropout keys per microbatch, a different (seed-like)
+    # stream than the sequential path; exact with dropout 0
+    # (sum losses make microbatching exact;
     # tests/test_pipeline.py proves loss+grads+K-step parity through
-    # train()).  num_hidden_layers must divide by pp; tp × pp is not
-    # implemented (use dp × pp).  Worth it only for deeper trunks — at
-    # the flagship's 2+2 layers the bubble dominates (docs/DESIGN.md §5).
+    # train()).  num_hidden_layers must divide by pp.  Composes with
+    # tp_size > 1 into the full 3-axis dp×pp×tp mesh: the gpipe
+    # shard_map is manual over pp/dp only and GSPMD partitions the stage
+    # bodies over tp (parallel/pipeline.py, tests/test_pipeline.py).
+    # Worth it only for deeper trunks — at the flagship's 2+2 layers the
+    # bubble dominates (docs/DESIGN.md §5).
     pp_size: int = 1
     # microbatches per gpipe dispatch (0 = auto: 2 * pp_size, clamped to
     # a divisor of the per-dp-shard batch axis)
@@ -236,7 +245,11 @@ class TrainConfig:
     # program (train/step.make_multi_train_step).  Same ops, same order,
     # same trajectory as K single dispatches — only the per-dispatch RPC
     # latency (the measured single-chip bottleneck at this geometry,
-    # DESIGN.md §7) is amortized K-fold.  Requires grad_accum_steps == 1.
+    # DESIGN.md §7) is amortized K-fold.  Composes with
+    # grad_accum_steps > 1: each of the K scanned optimizer steps then
+    # consumes grad_accum_steps accumulated microbatch gradients
+    # (train/step.make_accum_train_step — same rng folding and gradient
+    # sum as the unfused accumulation path, tests/test_multistep.py).
     steps_per_dispatch: int = 1
     # mid-epoch checkpointing: also save checkpoint_last (plus a
     # .progress.json sidecar carrying the within-epoch step count) every
@@ -255,18 +268,8 @@ class TrainConfig:
     def __post_init__(self):
         if self.steps_per_dispatch < 1:
             raise ValueError("steps_per_dispatch must be >= 1")
-        if self.steps_per_dispatch > 1 and self.grad_accum_steps > 1:
-            raise ValueError(
-                "steps_per_dispatch > 1 requires grad_accum_steps == 1 "
-                "(accumulation already splits the optimizer step across "
-                "dispatches; scanning accumulation groups is not "
-                "implemented)")
         if self.pp_size < 1:
             raise ValueError("pp_size must be >= 1")
-        if self.pp_size > 1 and self.tp_size > 1:
-            raise NotImplementedError(
-                "tp × pp composition is not implemented; scale with "
-                "dp × pp (pp_size) or dp × tp (tp_size)")
 
 
 @dataclass(frozen=True)

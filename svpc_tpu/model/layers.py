@@ -209,13 +209,21 @@ def _pp_rng_setup(module, mesh, n_micro: int):
     return kd, impl
 
 
+# fold constant for advancing the dropout key chain layer-to-layer; far
+# outside any plausible dp axis index so the layer-advance stream can
+# never collide with a dp-shard-local stream by construction (the two
+# would otherwise alias at dp index 1 and rest on Flax's module-path
+# fold-in for decorrelation — round-3 advisor finding)
+_PP_LAYER_FOLD = 0x50505050
+
+
 def _pp_stage_rngs(kd, impl, mesh):
     """(dropout rngs dict for this stage, next microbatch key data)."""
     key = kd if impl is None else jax.random.wrap_key_data(kd, impl=impl)
     local = key
     if "dp" in mesh.shape:
         local = jax.random.fold_in(key, jax.lax.axis_index("dp"))
-    nxt = jax.random.fold_in(key, 1)
+    nxt = jax.random.fold_in(key, _PP_LAYER_FOLD)
     if impl is not None:
         nxt = jax.random.key_data(nxt)
     return {"dropout": local}, nxt
@@ -238,9 +246,18 @@ def _pp_trunk_call(owner, layer, call, x, riding, deterministic):
     dp = mesh.shape.get("dp", 1)
     n_micro = pl.auto_microbatches(x.shape[0], owner.pp_microbatches,
                                    dp, mesh.shape["pp"])
-    stacked = pl.stack_layers(
-        [owner.variables["params"][f"layer_{i}"]
-         for i in range(cfg.num_hidden_layers)])
+    own_params = owner.variables["params"]
+    if "layers" in own_params:
+        # pipeline-RESIDENT layout (stack_trunk_params): the stacked
+        # leaves are already stored sharded P("pp", ...) — consumed
+        # shard-wise by the gpipe shard_map, no gather, no restack
+        stacked = own_params["layers"]
+    else:
+        stacked = pl.stack_layers(
+            [own_params[f"layer_{i}"]
+             for i in range(cfg.num_hidden_layers)])
+    if mesh.shape.get("tp", 1) > 1:
+        stacked = pl.pin_stacked_tp(stacked, mesh)
     split = lambda a: pl.split_microbatches(a, n_micro, dp)
     mb = P(None, "dp") if "dp" in mesh.shape else P(None)
     need_rng = not deterministic and (

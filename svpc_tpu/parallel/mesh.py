@@ -11,7 +11,7 @@ same math as the reference's single-device run.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
@@ -21,8 +21,13 @@ from jax.sharding import PartitionSpec as P
 
 def make_mesh(dp_size: Optional[int] = None, tp_size: int = 1,
               pp_size: int = 1, devices=None) -> Mesh:
-    """dp×tp mesh, or dp×pp when ``pp_size > 1`` (pp innermost so
-    pipeline-neighbor ``ppermute`` hops ride adjacent ICI links)."""
+    """dp×tp mesh, dp×pp when only ``pp_size > 1``, or the full 3-axis
+    dp×pp×tp mesh when both tp and pp exceed 1.
+
+    Axis order is communication locality: tp innermost (the most
+    bandwidth-hungry collectives — per-matmul all-reduces — ride adjacent
+    ICI links), pipeline-neighbor ``ppermute`` hops next, dp outermost
+    (one gradient psum per step tolerates the longest paths)."""
     devices = devices if devices is not None else jax.devices()
     if dp_size is None:
         dp_size = max(len(devices) // (tp_size * pp_size), 1)
@@ -31,11 +36,10 @@ def make_mesh(dp_size: Optional[int] = None, tp_size: int = 1,
         raise ValueError(
             f"mesh {dp_size}x{tp_size}x{pp_size} needs {n} devices, "
             f"have {len(devices)}")
+    if pp_size > 1 and tp_size > 1:
+        arr = np.array(devices[:n]).reshape(dp_size, pp_size, tp_size)
+        return Mesh(arr, ("dp", "pp", "tp"))
     if pp_size > 1:
-        if tp_size > 1:
-            raise NotImplementedError(
-                "tp × pp composition is not implemented; use dp × pp "
-                "(TrainConfig.pp_size) or dp × tp (tp_size)")
         arr = np.array(devices[:n]).reshape(dp_size, pp_size)
         return Mesh(arr, ("dp", "pp"))
     arr = np.array(devices[:n]).reshape(dp_size, tp_size)
@@ -47,10 +51,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("dp"))
 
 
-def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding for a K-stacked multi-step batch (K, B, ...): the scan
-    axis replicates, the batch axis (dim 1) shards over dp."""
-    return NamedSharding(mesh, P(None, "dp"))
+def stacked_batch_sharding(mesh: Mesh, n_leading: int = 1) -> NamedSharding:
+    """Sharding for a stacked multi-step batch with ``n_leading`` scan
+    axes — (K, B, ...) or, composed with gradient accumulation,
+    (K, A, B, ...): the scan axes replicate, the batch axis shards
+    over dp."""
+    return NamedSharding(mesh, P(*([None] * n_leading), "dp"))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
@@ -134,8 +140,21 @@ def param_partition_spec(path: tuple) -> P:
 
     Everything else (LayerNorms, LSTM, reasoner projections) replicates.
     XLA inserts the ICI collectives under jit.
+
+    A ``layers`` path component marks the pipeline-RESIDENT stacked trunk
+    layout (parallel/pipeline.stack_trunk_params): the leading layer axis
+    shards over ``pp`` — each stage group stores only its own layer
+    block — and the remaining dims carry the TP rule of the underlying
+    parameter, shifted one dim right.
     """
     keys = [p.key for p in path if hasattr(p, "key")]
+    if "layers" in keys:
+        base = _tp_rule(keys[keys.index("layers") + 1:])
+        return P("pp", *base)
+    return _tp_rule(keys)
+
+
+def _tp_rule(keys) -> P:
     name = keys[-1] if keys else ""
     parent = keys[-2] if len(keys) > 1 else ""
     joined = "/".join(keys)
@@ -161,8 +180,8 @@ def param_partition_spec(path: tuple) -> P:
     return P()
 
 
-def zero1_partition_spec(path: tuple, shape: tuple, dp: int, tp: int,
-                         has_tp: bool = True) -> P:
+def zero1_partition_spec(path: tuple, shape: tuple,
+                         axis_sizes: Dict[str, int]) -> P:
     """Sharding rule for one optimizer-moment / EMA-shadow leaf (ZeRO-1).
 
     The reference has no distributed optimizer at all (SURVEY §2.4).  Here
@@ -175,19 +194,18 @@ def zero1_partition_spec(path: tuple, shape: tuple, dp: int, tp: int,
     drops ~dp-fold while the numerics are unchanged
     (tests/test_zero1.py).
 
-    The leaf keeps its parameter's TP layout and folds ``dp`` into the
-    first free, divisible dimension; leaves with no divisible dimension
-    replicate over dp (scalars, tiny biases).
+    The leaf keeps its parameter's layout — TP rules AND, for
+    pipeline-resident stacked trunks, the leading ``pp`` layer axis
+    (so zero1 composes with ``--pp_size``: a stage's moments live only
+    on that stage's dp group) — and folds ``dp`` into the first free,
+    divisible dimension (or onto a ``tp`` dim divisible by dp*tp);
+    leaves with no divisible dimension replicate over dp (scalars, tiny
+    biases).  ``axis_sizes`` is the mesh's axis-name -> size mapping.
     """
-    # on a mesh without a tp axis (dp×pp) the TP layout degenerates to
-    # replication and only the dp fold below applies
-    base = param_partition_spec(path) if has_tp else P()
+    dp = axis_sizes.get("dp", 1)
+    tp = axis_sizes.get("tp", 1)
+    base = _resolve_spec(param_partition_spec(path), shape, axis_sizes)
     spec = list(base) + [None] * (len(shape) - len(base))
-    for d, ax in enumerate(spec):
-        # mirror shard_params' TP divisibility fallback
-        if ax is not None and shape[d] % tp != 0:
-            spec = [None] * len(shape)
-            break
     for d in range(len(shape)):
         if spec[d] is None and shape[d] > 0 and shape[d] % dp == 0:
             spec[d] = "dp"
@@ -200,18 +218,16 @@ def zero1_partition_spec(path: tuple, shape: tuple, dp: int, tp: int,
 
 def shard_state_zero1(mesh: Mesh, state: Any) -> Any:
     """Re-place a TrainState's optimizer state + EMA shadow with ZeRO-1
-    dp sharding (params keep their existing TP/replicated placement).
+    dp sharding (params keep their existing TP/pp/replicated placement).
 
     Use with a pinned ``out_shardings`` on the jitted train step so the
     sharded layout persists across steps and donation stays effective
     (train/loop.py)."""
-    dp = mesh.shape.get("dp", 1)
-    tp = mesh.shape.get("tp", 1)
-    has_tp = "tp" in mesh.shape
+    axis_sizes = dict(mesh.shape)
 
     def place(path, x):
         spec = zero1_partition_spec(path, tuple(getattr(x, "shape", ())),
-                                    dp, tp, has_tp=has_tp)
+                                    axis_sizes)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     opt = jax.tree_util.tree_map_with_path(place, state.opt_state)
@@ -232,33 +248,46 @@ def state_shardings(state: Any) -> Any:
     return jax.tree.map(lambda x: x.sharding, state)
 
 
-def shard_params(mesh: Mesh, params: Any, report: Optional[dict] = None) -> Any:
-    """Place a param pytree with TP partition specs over the mesh.
+def _resolve_spec(spec: P, shape: tuple, axis_sizes: Dict[str, int]) -> P:
+    """Drop spec axes the mesh does not carry, then verify divisibility:
+    a TP dim that does not divide its axis demotes the WHOLE leaf's tp
+    sharding to replication (mirroring the historical all-or-nothing
+    fallback), while the pp layer axis — always divisible by
+    construction (train() validates pp | num_hidden_layers) — survives
+    independently."""
+    dims = [ax if ax in axis_sizes else None for ax in spec]
+    dims += [None] * (len(shape) - len(dims))
+    for d, ax in enumerate(dims):
+        if ax is not None and shape[d] % axis_sizes[ax] != 0:
+            dims = [a if a == "pp" else None for a in dims]
+            break
+    return P(*dims)
 
-    A spec only applies when the sharded dimension divides the axis size;
-    otherwise the leaf replicates (and is recorded in ``report`` when
-    given, mapping path -> "replicated(shape)").  With
+
+def shard_params(mesh: Mesh, params: Any, report: Optional[dict] = None) -> Any:
+    """Place a param pytree with its partition specs over the mesh: TP
+    rules (Megatron layout), plus the leading-``pp`` layer axis for
+    pipeline-resident stacked trunks (param_partition_spec).
+
+    A TP spec only applies when the sharded dimension divides the axis
+    size; otherwise the leaf's tp sharding falls back to replication (and
+    is recorded in ``report`` when given).  With
     ``ModelConfig.vocab_pad_multiple = tp`` no vocab rule hits this
     fallback; it exists for ad-hoc geometries."""
-    tp = mesh.shape.get("tp", 1)
+    axis_sizes = dict(mesh.shape)
 
     def place(path, x):
-        spec = param_partition_spec(path)
-        if "tp" not in mesh.shape and spec != P():
-            # dp×pp mesh: no tp axis — params replicate (every rule in
-            # param_partition_spec is a TP rule)
-            spec = P()
-        for dim, axis in enumerate(spec):
-            if axis is not None and x.shape[dim] % tp != 0:
-                if report is not None:
-                    key = "/".join(p.key for p in path if hasattr(p, "key"))
-                    report[key] = f"replicated{tuple(x.shape)}"
-                spec = P()
-                break
-        else:
-            if report is not None and spec != P():
-                key = "/".join(p.key for p in path if hasattr(p, "key"))
+        rule = param_partition_spec(path)
+        spec = _resolve_spec(rule, tuple(getattr(x, "shape", ())),
+                             axis_sizes)
+        if report is not None:
+            # report only leaves a rule targeted: the applied spec, or
+            # "replicated" when a mesh-present axis failed divisibility
+            key = "/".join(p.key for p in path if hasattr(p, "key"))
+            if spec != P():
                 report[key] = str(spec)
+            elif any(ax is not None and ax in axis_sizes for ax in rule):
+                report[key] = f"replicated{tuple(x.shape)}"
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)

@@ -13,6 +13,8 @@ trunks through this primitive (model/layers.py ``Encoder._pp_call`` /
 ``Decoder._pp_call``: params stacked per layer and sharded over pp,
 activations microbatched with ``split_microbatches``, dropout keys
 threaded per microbatch as raw key data).  Trajectory-identical to pp=1
+up to dropout sampling (the per-microbatch key folding is a different,
+seed-like stream than the sequential path; exact with dropout 0)
 — ``tests/test_pipeline.py`` proves output+gradient parity for the raw
 primitive AND loss/grad/K-step parity through the real model and
 ``train()``; ``__graft_entry__.py`` trains a 4+4-layer variant under
@@ -32,6 +34,7 @@ Reference frame: the PyTorch reference is strictly single-GPU (SURVEY
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Callable, Optional
 
 import jax
@@ -68,6 +71,10 @@ def auto_microbatches(n: int, requested: int, dp: int, pp: int) -> int:
     k = max(1, min(want, per))
     while per % k:
         k -= 1
+    if requested > 0 and k != requested:
+        logging.getLogger(__name__).info(
+            "pp_microbatches=%d adjusted to %d (must divide the "
+            "per-dp-shard batch axis of %d rows)", requested, k, per)
     return k
 
 
@@ -92,6 +99,154 @@ def merge_microbatches(x: jnp.ndarray, dp: int = 1) -> jnp.ndarray:
     x = x.reshape((n_micro, dp, m) + x.shape[2:])
     x = jnp.swapaxes(x, 0, 1)
     return x.reshape((dp * n_micro * m,) + x.shape[3:])
+
+
+_LAYER_KEY = None  # lazily compiled regex for layer_<i> keys
+
+
+def _layer_indices(d: dict):
+    """Sorted layer indices when ``d`` holds a complete layer_0..layer_{L-1}
+    family (L >= 2), else None."""
+    global _LAYER_KEY
+    if _LAYER_KEY is None:
+        import re
+        _LAYER_KEY = re.compile(r"layer_(\d+)$")
+    idx = sorted(int(m.group(1)) for k in d
+                 if isinstance(k, str) and (m := _LAYER_KEY.match(k)))
+    return idx if len(idx) > 1 and idx == list(range(len(idx))) else None
+
+
+def _stack_leaf(*xs):
+    x0 = xs[0]
+    if isinstance(x0, jax.ShapeDtypeStruct):
+        return jax.ShapeDtypeStruct((len(xs),) + tuple(x0.shape), x0.dtype)
+    return jnp.stack(xs)
+
+
+def _slice_leaf(x, i: int):
+    if isinstance(x, jax.ShapeDtypeStruct):
+        return jax.ShapeDtypeStruct(tuple(x.shape[1:]), x.dtype)
+    return x[i]
+
+
+def _map_dicts(fn, tree):
+    """Apply ``fn`` to every dict node bottom-up, preserving other
+    containers (NamedTuples like BertAdamState keep their type)."""
+    if isinstance(tree, dict):
+        return fn({k: _map_dicts(fn, v) for k, v in tree.items()})
+    if isinstance(tree, tuple):
+        vals = [_map_dicts(fn, v) for v in tree]
+        # NamedTuples (BertAdamState, optax states) take *args; plain
+        # tuples (the optax chain) take one iterable
+        return (type(tree)(*vals) if hasattr(tree, "_fields")
+                else tuple(vals))
+    if isinstance(tree, list):
+        return [_map_dicts(fn, v) for v in tree]
+    return tree
+
+
+# the PIPELINED trunks (SVPCModel.setup: `encoder` and `decoder` carry
+# pp_mesh; `step_wise_encoder` deliberately stays sequential — S <= 16
+# tokens of work is all bubble) — only these stack for residency
+PP_TRUNK_KEYS = ("encoder", "decoder")
+
+
+def stack_trunk_params(tree: Pytree,
+                       trunk_keys=PP_TRUNK_KEYS) -> Pytree:
+    """Pipeline-RESIDENT parameter layout: the ``layer_0..layer_{L-1}``
+    families of the PIPELINED trunks (``trunk_keys`` subtrees, wherever
+    they appear — params, Adam moments, EMA shadow share the dict paths)
+    collapse into ONE ``layers`` subtree with a leading layer axis.
+    Non-pipelined layer families (step_wise_encoder) keep per-layer
+    storage — their sequential path indexes layer_i params.
+
+    This is the storage layout ``--pp_size > 1`` trains under: the
+    stacked leaves shard ``P("pp", ...)`` at REST (parallel/mesh.py
+    partition rules), so each pipeline stage group stores only its own
+    layer block — and because Adam moments and the EMA shadow mirror the
+    param tree, the optimizer state residency drops ~pp-fold with them
+    (round-3 VERDICT item 2; the gpipe shard_map consumes the stacked
+    leaves shard-wise with no gather).  Works on value trees AND abstract
+    ShapeDtypeStruct templates; ``unstack_trunk_params`` is the exact
+    inverse (checkpoint interop with non-pp layouts)."""
+    def fn(d):
+        out = None
+        for k, v in d.items():
+            if k not in trunk_keys or not isinstance(v, dict):
+                continue
+            idx = _layer_indices(v)
+            if idx is None:
+                continue
+            stacked = {kk: vv for kk, vv in v.items()
+                       if _LAYER_KEY.match(kk) is None}
+            stacked["layers"] = jax.tree_util.tree_map(
+                _stack_leaf, *[v[f"layer_{i}"] for i in idx])
+            out = dict(d if out is None else out)
+            out[k] = stacked
+        return d if out is None else out
+
+    return _map_dicts(fn, tree)
+
+
+def unstack_trunk_params(tree: Pytree) -> Pytree:
+    """Inverse of :func:`stack_trunk_params`: ``layers`` subtrees split
+    back into ``layer_i`` families (leading-axis slices)."""
+    def fn(d):
+        if "layers" not in d or not isinstance(d["layers"], dict):
+            return d
+        stacked = d["layers"]
+        n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        out = {k: v for k, v in d.items() if k != "layers"}
+        for i in range(n):
+            out[f"layer_{i}"] = jax.tree_util.tree_map(
+                lambda x: _slice_leaf(x, i), stacked)
+        return out
+
+    return _map_dicts(fn, tree)
+
+
+def has_stacked_trunks(tree: Pytree) -> bool:
+    """True when the tree stores pipeline-resident ``layers`` subtrees."""
+    found = []
+
+    def fn(d):
+        if "layers" in d and isinstance(d["layers"], dict):
+            found.append(True)
+        return d
+
+    _map_dicts(fn, tree)
+    return bool(found)
+
+
+def pin_stacked_tp(stacked: Pytree, mesh: Mesh, pp_axis: str = "pp",
+                   tp_axis: str = "tp") -> Pytree:
+    """Pin a stacked layer pytree's sharding to ``P(pp, *tp-rules)``.
+
+    Dim 0 (the layer axis) shards over the pipeline axis — each stage
+    group stores only its own layer block; the remaining dims carry the
+    Megatron TP layout of the underlying parameter
+    (mesh.param_partition_spec keyed by the SAME tree path names, shifted
+    one dim right).  A TP dim that does not divide the tp axis falls back
+    to replication over tp, mirroring ``shard_params``.  Used by
+    model/layers._pp_trunk_call so the gpipe shard_map (manual over
+    pp/dp, tp automatic) consumes tp-sharded stage params in place."""
+    import jax.numpy  # noqa: F401  (jax already imported at module top)
+    from jax.sharding import NamedSharding
+    from svpc_tpu.parallel.mesh import param_partition_spec
+
+    tp = mesh.shape[tp_axis]
+
+    def pin(path, x):
+        spec = param_partition_spec(path)
+        dims = list(spec) + [None] * (x.ndim - 1 - len(spec))
+        for d, ax in enumerate(dims):
+            if ax is not None and x.shape[1 + d] % tp:
+                dims = [None] * (x.ndim - 1)
+                break
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(pp_axis, *dims)))
+
+    return jax.tree_util.tree_map_with_path(pin, stacked)
 
 
 def gpipe(stage_fn: Callable[[Pytree, Pytree], Pytree],
@@ -197,8 +352,18 @@ def gpipe(stage_fn: Callable[[Pytree, Pytree], Pytree],
         mb_specs = tmap(lambda _: mb_spec, microbatches)
     in_specs = (tmap(lambda _: P(pp_axis), stacked_params), mb_specs)
     out_specs = mb_specs
+    kw = {}
+    manual = {pp_axis} | ({batch_axis} if batch_axis else set())
+    if set(mesh.axis_names) - manual:
+        # extra mesh axes (tensor parallelism) stay AUTOMATIC: the
+        # shard_map is manual only over the pipeline/batch axes, and
+        # GSPMD partitions the ops inside each stage over the remaining
+        # axes from the operands' residual shardings (e.g. tp-sharded
+        # stacked params — model/layers._pp_trunk_call pins them).  This
+        # is what composes dp×pp×tp in ONE program.
+        kw["axis_names"] = frozenset(manual)
     fn = jax.shard_map(shard_fn, mesh=mesh,
-                       in_specs=in_specs, out_specs=out_specs)
+                       in_specs=in_specs, out_specs=out_specs, **kw)
     return fn(stacked_params, microbatches)
 
 

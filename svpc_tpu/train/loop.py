@@ -126,20 +126,40 @@ def packing_builder(cfg: Config, mesh=None, n_clips: Optional[int] = None,
 
 
 def group_stack_batches(batch_iter, k: int, max_t_len: int,
-                        dp_shards: int = 1):
-    """Group K consecutive (batch, metas) pairs into one stacked batch
-    for a k-steps-per-dispatch scan (data/packing.stack_batches).  The
-    epoch tail yields a smaller final group rather than dropping data."""
+                        dp_shards: int = 1, accum: int = 1):
+    """Group K (or K*accum) consecutive (batch, metas) pairs into one
+    stacked batch for a k-steps-per-dispatch scan
+    (data/packing.stack_batches).  With ``accum > 1`` the stack is
+    reshaped to (K, accum, ...) — K optimizer steps of ``accum``
+    accumulated microbatches each (train/step.make_accum_train_step).
+    The epoch tail never drops data: it yields the largest whole
+    accumulation groups first, then one (1, r < accum) partial group —
+    the same partial-flush semantics as the unfused accumulation path."""
     from svpc_tpu.data.packing import stack_batches
+
+    def emit(group, ms):
+        stacked = stack_batches(group, max_t_len, dp_shards)
+        if accum > 1:
+            stacked = {key: v.reshape((len(group) // accum, accum)
+                                      + v.shape[1:])
+                       for key, v in stacked.items()}
+        return stacked, ms
+
     buf, metas = [], []
     for batch, ms in batch_iter:
         buf.append(batch)
         metas.extend(ms)
-        if len(buf) == k:
-            yield stack_batches(buf, max_t_len, dp_shards), metas
+        if len(buf) == k * accum:
+            yield emit(buf, metas)
             buf, metas = [], []
     if buf:
-        yield stack_batches(buf, max_t_len, dp_shards), metas
+        q, r = divmod(len(buf), accum)
+        if q:
+            yield emit(buf[:q * accum], metas)
+            metas = []
+        if r:  # accum > 1 by construction (divmod(n, 1) has r == 0)
+            stacked = stack_batches(buf[q * accum:], max_t_len, dp_shards)
+            yield {key: v[None] for key, v in stacked.items()}, metas
 
 
 def eval_packing_builder(cfg: Config, mesh, dataset, batch_size: int):
@@ -349,6 +369,15 @@ def train(cfg: Config, workdir: str,
     params = load_glove_into(params, cfg.data.glove_path,
                              cfg.data.verb_glove_path, cfg.model.model_mode,
                              cfg.model.padded_vocab_size)
+    if cfg.train.pp_size > 1:
+        # pipeline-RESIDENT parameter layout: the trunks' layer_i
+        # families collapse into stacked `layers` subtrees that shard
+        # P("pp", ...) at rest — each stage group stores only its own
+        # layer block, and the Adam moments + EMA shadow (created below
+        # from this tree) inherit the same residency
+        # (parallel/pipeline.stack_trunk_params)
+        from svpc_tpu.parallel.pipeline import stack_trunk_params
+        params = stack_trunk_params(params)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     n_frozen = 0
     if cfg.train.freeze_glove:
@@ -416,9 +445,14 @@ def train(cfg: Config, workdir: str,
 
     step_out_shardings = None
     if mesh is not None and cfg.train.zero1:
-        # ZeRO-1: moments + EMA shadow shard over dp; pin the layout on
-        # the step outputs so it persists (and donation stays in-place)
+        # ZeRO-1: moments + EMA shadow shard over dp (composing with the
+        # pp residency of stacked trunk leaves); pin the layout on the
+        # step outputs so it persists (and donation stays in-place)
         state = shard_state_zero1(mesh, state)
+        step_out_shardings = (state_shardings(state),
+                              replicated_sharding(mesh))
+    elif mesh is not None and cfg.train.pp_size > 1:
+        # pin the pp-resident stacked layout across steps the same way
         step_out_shardings = (state_shardings(state),
                               replicated_sharding(mesh))
 
@@ -428,7 +462,9 @@ def train(cfg: Config, workdir: str,
     spd = max(1, cfg.train.steps_per_dispatch)
     if spd > 1:
         # K optimizer steps per device call: same trajectory, ~K-fold
-        # fewer dispatch RPCs (train/step.make_multi_train_step)
+        # fewer dispatch RPCs (train/step.make_multi_train_step); with
+        # accum > 1 each scanned step consumes A accumulated microbatch
+        # gradients (make_accum_train_step inside the scan)
         from svpc_tpu.train.step import make_multi_train_step
         train_step = transient_retry(
             jax.jit(make_multi_train_step(model, tx, cfg), donate_argnums=0,
@@ -438,7 +474,7 @@ def train(cfg: Config, workdir: str,
         train_step = transient_retry(
             jax.jit(make_train_step(model, tx, cfg), donate_argnums=0,
                     out_shardings=step_out_shardings), what="train step")
-    if accum > 1:
+    if accum > 1 and spd == 1:
         from svpc_tpu.train.step import make_apply_step, make_grad_step, \
             tree_add
         grad_step = transient_retry(jax.jit(make_grad_step(model, cfg)),
@@ -491,8 +527,17 @@ def train(cfg: Config, workdir: str,
     val_builder = eval_packing_builder(
         cfg, mesh, val_ds, cfg.train.val_batch_size) if len(val_ds) else None
     feat_cast = cast_transform(cfg)
-    # one compiled decode program reused across every epoch's greedy eval
-    eval_decoder = (make_eval_decoder(model, cfg, val_ds, mesh)
+    # one compiled decode program reused across every epoch's greedy eval.
+    # Under pp the KV-cached incremental decode path is sequential by
+    # design (per-token work is latency-bound, model/layers.Decoder), so
+    # decode runs a sequential-trunk model on unstacked eval params (the
+    # teacher-forced eval_step above still pipelines).
+    decode_model, unstack_for_decode = model, None
+    if cfg.train.pp_size > 1:
+        from svpc_tpu.parallel.pipeline import unstack_trunk_params
+        decode_model = SVPCModel(cfg.model)
+        unstack_for_decode = unstack_trunk_params
+    eval_decoder = (make_eval_decoder(decode_model, cfg, val_ds, mesh)
                     if eval_language and len(val_ds) else None)
 
     opt_step = int(state.step)  # host-side mirror (accum rng folding)
@@ -577,8 +622,10 @@ def train(cfg: Config, workdir: str,
             if spd > 1:
                 host_iter = group_stack_batches(
                     host_iter, spd, cfg.model.max_t_len,
-                    mesh.shape.get("dp", 1) if mesh is not None else 1)
-                sharding = (stacked_batch_sharding(mesh)
+                    mesh.shape.get("dp", 1) if mesh is not None else 1,
+                    accum=accum)
+                sharding = (stacked_batch_sharding(
+                    mesh, n_leading=2 if accum > 1 else 1)
                             if mesh is not None else None)
             batch_iter = prefetch_to_device(
                 host_iter, size=2, sharding=sharding, transform=feat_cast)
@@ -593,7 +640,7 @@ def train(cfg: Config, workdir: str,
                     # trace starts in epoch 1, not never)
                     jax.profiler.start_trace(os.path.join(workdir, "profile"))
                     prof_active = True
-                if accum == 1:
+                if accum == 1 or spd > 1:
                     state, m = train_step(state, batch, rng)
                 else:
                     micro_rng = jax.random.fold_in(
@@ -608,10 +655,16 @@ def train(cfg: Config, workdir: str,
                         acc_grads, n_micro = None, 0
                         opt_step += 1
                 metrics.append(m)
-                # a multi-step dispatch carries K optimizer steps (the
-                # epoch tail may carry fewer)
-                n_in = (int(m["loss"].shape[0])
-                        if spd > 1 and getattr(m["loss"], "ndim", 0) else 1)
+                # a multi-step dispatch carries K optimizer steps of
+                # accum host batches each (the epoch tail may carry
+                # fewer); epoch_steps counts HOST batches (it drives the
+                # mid-epoch checkpoint period and resume's batches_done)
+                if spd > 1:
+                    lead = next(iter(batch.values())).shape
+                    n_in = int(lead[0]) * (int(lead[1]) if accum > 1
+                                           else 1)
+                else:
+                    n_in = 1
                 global_step += n_in
                 epoch_steps += n_in
                 if prof_active and not profiled:
@@ -692,8 +745,10 @@ def train(cfg: Config, workdir: str,
             # greedy decode + language metrics
             lang = {}
             if eval_language:
+                dec_params = (unstack_for_decode(eval_params)
+                              if unstack_for_decode else eval_params)
                 submission = run_greedy_eval(
-                    model, eval_params, val_ds, cfg, mesh,
+                    decode_model, dec_params, val_ds, cfg, mesh,
                     max_batches=max_steps_per_epoch,
                     decoder=eval_decoder)
                 sub_path = os.path.join(

@@ -74,6 +74,13 @@ class BertAdamState(NamedTuple):
     v: Any
 
 
+def _is_stacked_path(path) -> bool:
+    """True for leaves inside a pipeline-resident stacked trunk
+    (parallel/pipeline.stack_trunk_params): dim 0 is the layer axis, and
+    per-parameter norms must be computed per layer slice."""
+    return any(getattr(p, "key", None) == "layers" for p in path)
+
+
 def _decay_mask(params) -> Any:
     """Flax-name decay heuristic (True where weight decay applies):
     exempt leaves named 'bias' or 'scale'.  Used for trees with no torch
@@ -114,6 +121,13 @@ def reference_decay_mask_fn(model_mode: str, n_layers: int):
             keys = [p.key for p in path if hasattr(p, "key")]
             if keys and keys[0] == "params":
                 keys = keys[1:]
+            if "layers" in keys:
+                # pipeline-resident stacked trunk: the decay decision is
+                # index-independent (the reference rule keys on 'bias' /
+                # 'LayerNorm.weight' substrings), so layer_0's torch name
+                # answers for the whole stack
+                i = keys.index("layers")
+                keys = keys[:i] + ["layer_0"] + keys[i + 1:]
             t = torch_names.get("/".join(str(k) for k in keys))
             if t is None:
                 # outside the interop mapping (no torch counterpart):
@@ -164,14 +178,22 @@ def bert_adam(
         assert params is not None
         decay_mask = mask_fn(params)
 
-        def clip(g):
+        def clip(path, g):
             if max_grad_norm <= 0:
                 return g
-            norm = jnp.sqrt(jnp.sum(jnp.square(g)))
+            if _is_stacked_path(path) and g.ndim > 0:
+                # pipeline-resident stacked trunk: the reference clips
+                # PER PARAMETER TENSOR, i.e. per layer — a whole-leaf
+                # norm over L stacked layers would be different math
+                axes = tuple(range(1, g.ndim))
+                norm = jnp.sqrt(jnp.sum(jnp.square(g), axis=axes,
+                                        keepdims=True))
+            else:
+                norm = jnp.sqrt(jnp.sum(jnp.square(g)))
             scale = jnp.minimum(1.0, max_grad_norm / (norm + 1e-6))
             return g * scale
 
-        grads = jax.tree.map(clip, grads)
+        grads = jax.tree_util.tree_map_with_path(clip, grads)
         # moment math in f32 even when the carried state is bf16
         m = jax.tree.map(
             lambda mm, g: b1 * mm.astype(jnp.float32) + (1 - b1) * g,
@@ -222,9 +244,20 @@ def clip_by_global_norm_torch(max_norm: float) -> optax.GradientTransformation:
 
     def update_fn(updates, state, params=None):
         del params
-        leaf_norms = jax.tree.leaves(jax.tree.map(
-            lambda u: jnp.sqrt(jnp.sum(jnp.square(u))), updates))
-        total_norm = jnp.sqrt(sum(jnp.square(n) for n in leaf_norms))
+        # per-parameter norms; a pipeline-resident stacked leaf
+        # contributes one norm PER LAYER SLICE (the reference sees L
+        # separate tensors there) — the sqrt/square round-trip per slice
+        # keeps torch's stack-of-norms rounding
+        sq_norms = []
+        for path, u in jax.tree_util.tree_flatten_with_path(updates)[0]:
+            if _is_stacked_path(path) and u.ndim > 0:
+                slice_norms = jnp.sqrt(jnp.sum(
+                    jnp.square(u), axis=tuple(range(1, u.ndim))))
+                sq_norms.append(jnp.sum(jnp.square(slice_norms)))
+            else:
+                sq_norms.append(jnp.square(
+                    jnp.sqrt(jnp.sum(jnp.square(u)))))
+        total_norm = jnp.sqrt(sum(sq_norms))
         scale = jnp.minimum(1.0, max_norm / (total_norm + 1e-6))
         return jax.tree.map(lambda u: u * scale, updates), state
 

@@ -101,5 +101,26 @@ def load_checkpoint(path: str, state: TrainState) -> TrainState:
         # crash landed inside save_checkpoint's swap window: the fully
         # written replacement is the recovery point
         path = path + ".swp"
-    restored = ckptr.restore(path, template)
+    try:
+        restored = ckptr.restore(path, template)
+    except Exception as first_err:  # noqa: BLE001 — layout fallback below
+        # layout bridge: a pp-trained checkpoint stores the trunks
+        # pipeline-resident (stacked `layers` subtrees,
+        # parallel/pipeline.stack_trunk_params) while a non-pp template
+        # expects layer_i families — and vice versa when a pp run resumes
+        # a non-pp checkpoint.  Retry through the CONVERTED template and
+        # return values in the caller's layout.
+        from svpc_tpu.parallel.pipeline import (
+            has_stacked_trunks, stack_trunk_params, unstack_trunk_params)
+        if has_stacked_trunks(template):
+            alt, back = unstack_trunk_params(template), stack_trunk_params
+        else:
+            alt, back = stack_trunk_params(template), unstack_trunk_params
+        if jax.tree_util.tree_structure(alt) == \
+                jax.tree_util.tree_structure(template):
+            raise first_err  # no trunks to convert — a genuine mismatch
+        try:
+            restored = back(ckptr.restore(path, alt))
+        except Exception:
+            raise first_err  # surface the original, unconverted error
     return state.replace(**restored)

@@ -116,6 +116,46 @@ def make_train_step(model, tx: optax.GradientTransformation, cfg: Config):
     return train_step
 
 
+def make_accum_train_step(model, tx: optax.GradientTransformation,
+                          cfg: Config):
+    """ONE optimizer step consuming A accumulated microbatch gradients
+    inside one compiled program (``batches`` carries a leading
+    accumulation axis A).
+
+    Bit-compatible with the unfused grad_step/apply_step path the loop
+    runs at ``steps_per_dispatch == 1``: the same per-microbatch rng
+    folding (``fold_in(fold_in(rng, step), i)`` — the loop's host-side
+    ``opt_step`` mirror equals ``state.step`` at every group start), the
+    same left-fold gradient sum (a leading zero tree adds exactly), and
+    the same apply/EMA/nonfinite guard (``make_apply_step``).  A partial
+    epoch-tail group just passes a shorter leading axis — identical to
+    the unfused path's partial flush.  Scanned K-fold by
+    ``make_multi_train_step`` for ``--steps_per_dispatch K
+    --grad_accum_steps A``."""
+    grad_step = make_grad_step(model, cfg)
+    apply_step = make_apply_step(tx, cfg)
+
+    def accum_step(state: TrainState, batches, rng
+                   ) -> Tuple[TrainState, Dict]:
+        base = jax.random.fold_in(rng, state.step)
+        zeros = jax.tree.map(jnp.zeros_like, state.params["params"])
+        n = jax.tree_util.tree_leaves(batches)[0].shape[0]
+
+        def body(acc, xs):
+            batch, i = xs
+            g, m = grad_step(state.params["params"], batch,
+                             jax.random.fold_in(base, i))
+            return tree_add(acc, g), m
+
+        acc, ms = jax.lax.scan(body, zeros, (batches, jnp.arange(n)))
+        new_state, apply_m = apply_step(state, acc)
+        metrics = {k: jnp.sum(v, axis=0) for k, v in ms.items()}
+        metrics.update(apply_m)
+        return new_state, metrics
+
+    return accum_step
+
+
 def make_multi_train_step(model, tx: optax.GradientTransformation,
                           cfg: Config):
     """K optimizer steps per device dispatch via ``lax.scan``.
@@ -127,8 +167,16 @@ def make_multi_train_step(model, tx: optax.GradientTransformation,
     trajectory is identical — only the per-dispatch RPC latency and K-1
     host round-trips are saved.  Metrics come back stacked (K,) per key;
     ``aggregate_metrics`` sums arrays, so epoch bookkeeping is unchanged.
-    """
-    step_fn = make_train_step(model, tx, cfg)
+
+    With ``cfg.train.grad_accum_steps > 1`` the scan body is
+    ``make_accum_train_step`` instead and ``batches`` carries TWO leading
+    axes (K, A, ...): K optimizer steps each consuming A accumulated
+    microbatch gradients — the dispatch-amortization and accumulation
+    levers composed (tests/test_multistep.py)."""
+    if cfg.train.grad_accum_steps > 1:
+        step_fn = make_accum_train_step(model, tx, cfg)
+    else:
+        step_fn = make_train_step(model, tx, cfg)
 
     def multi_step(state: TrainState, batches, rng):
         return jax.lax.scan(lambda st, b: step_fn(st, b, rng),

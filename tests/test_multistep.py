@@ -197,13 +197,134 @@ def test_aggregate_metrics_sums_stacked_arrays():
     assert a["nonfinite_skipped"] == 1
 
 
-def test_steps_per_dispatch_requires_no_accum():
+def test_steps_per_dispatch_validation():
     from svpc_tpu.config import TrainConfig
 
     with pytest.raises(ValueError):
-        TrainConfig(steps_per_dispatch=2, grad_accum_steps=2)
-    with pytest.raises(ValueError):
         TrainConfig(steps_per_dispatch=0)
+    # composes with accumulation since round 4 (make_accum_train_step)
+    TrainConfig(steps_per_dispatch=2, grad_accum_steps=2)
+
+
+def test_multi_accum_matches_unfused():
+    """K=2 scanned optimizer steps of A=2 accumulated microbatches each
+    (one dispatch, batches stacked (K, A, ...)) reproduce the loop's
+    unfused grad_step/tree_add/apply_step path exactly: same rng folding
+    (fold_in(fold_in(rng, step), micro)), same gradient sum, same
+    params/moments/EMA."""
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.data.packing import stack_batches
+    from svpc_tpu.train.step import (make_apply_step, make_grad_step,
+                                     make_multi_train_step, tree_add)
+
+    cfg, model, tx, state0, batches = _setup("full", n_batches=4)
+    cfg = cfg.replace_train(grad_accum_steps=2, steps_per_dispatch=2)
+    rng = jax.random.PRNGKey(7)
+
+    # unfused ground truth: the exact sequence train/loop.py runs at
+    # steps_per_dispatch == 1 (host opt_step mirror folding included)
+    grad_step = jax.jit(make_grad_step(model, cfg))
+    apply_step = jax.jit(make_apply_step(tx, cfg))
+    seq_state, opt_step = state0, 0
+    seq_losses = []
+    for g_i, group in enumerate([batches[:2], batches[2:]]):
+        acc = None
+        for i, b in enumerate(group):
+            micro_rng = jax.random.fold_in(
+                jax.random.fold_in(rng, opt_step), i)
+            g, m = grad_step(seq_state.params["params"], b, micro_rng)
+            seq_losses.append(float(m["loss"]))
+            acc = g if acc is None else jax.jit(tree_add)(acc, g)
+        seq_state, _ = apply_step(seq_state, acc)
+        opt_step += 1
+
+    stacked = stack_batches(batches, cfg.model.max_t_len)
+    stacked = {k: v.reshape((2, 2) + v.shape[1:])
+               for k, v in stacked.items()}
+    multi = jax.jit(make_multi_train_step(model, tx, cfg))
+    multi_state, mm = multi(state0, stacked, rng)
+
+    assert int(multi_state.step) == int(seq_state.step) == 2
+    assert mm["loss"].shape == (2,)  # K optimizer steps, A-summed losses
+    np.testing.assert_allclose(
+        np.asarray(mm["loss"]),
+        [seq_losses[0] + seq_losses[1], seq_losses[2] + seq_losses[3]],
+        rtol=1e-6)
+    _assert_tree_close(multi_state.params, seq_state.params)
+    _assert_tree_close(multi_state.opt_state, seq_state.opt_state)
+    _assert_tree_close(multi_state.ema_shadow, seq_state.ema_shadow)
+
+
+def test_multi_accum_partial_tail_group():
+    """A (1, r < accum) partial tail group equals the unfused epoch-end
+    partial flush (r microbatches, one apply)."""
+    import jax
+    from svpc_tpu.data.packing import stack_batches
+    from svpc_tpu.train.step import (make_apply_step, make_grad_step,
+                                     make_multi_train_step)
+
+    cfg, model, tx, state0, batches = _setup("copy", n_batches=1)
+    cfg = cfg.replace_train(grad_accum_steps=2, steps_per_dispatch=2)
+    rng = jax.random.PRNGKey(7)
+
+    grad_step = jax.jit(make_grad_step(model, cfg))
+    apply_step = jax.jit(make_apply_step(tx, cfg))
+    micro_rng = jax.random.fold_in(jax.random.fold_in(rng, 0), 0)
+    g, _ = grad_step(state0.params["params"], batches[0], micro_rng)
+    seq_state, _ = apply_step(state0, g)
+
+    stacked = {k: v[None] for k, v in
+               stack_batches(batches, cfg.model.max_t_len).items()}
+    multi = jax.jit(make_multi_train_step(model, tx, cfg))
+    multi_state, _ = multi(state0, stacked, rng)
+    assert int(multi_state.step) == 1
+    _assert_tree_close(multi_state.params, seq_state.params)
+    _assert_tree_close(multi_state.opt_state, seq_state.opt_state)
+
+
+def test_train_loop_spd_composes_with_accum(tmp_path):
+    """train() with --steps_per_dispatch 2 --grad_accum_steps 2 matches
+    the unfused --grad_accum_steps 2 history (dropout ACTIVE — both paths
+    fold the rng by (optimizer step, microbatch index), so even the noise
+    matches; 3 host batches exercise the (1, r) partial tail group)."""
+    import json
+
+    from tests import reference_bridge as rb
+
+    if not rb.reference_available():
+        pytest.skip("reference repo not mounted")
+
+    names, feat_dir, dur_file = rb.setup_features(3)
+    cfg, _ = rb.build_ours("copy", feat_dir, dur_file)
+    cfg = cfg.replace_train(batch_size=1, val_batch_size=2, n_epoch=1,
+                            max_es_cnt=10, grad_accum_steps=2)
+    from svpc_tpu.data.pipeline import CaptionDataset
+    from svpc_tpu.train import loop as loop_mod
+
+    orig_init = CaptionDataset.__init__
+
+    def patched_init(self, c, split, **kw):
+        orig_init(self, c, "val", **kw)
+        self.split = split
+
+    CaptionDataset.__init__ = patched_init
+    try:
+        loop_mod.train(cfg, str(tmp_path / "unfused"),
+                       eval_language=False, tensorboard=False)
+        loop_mod.train(cfg.replace_train(steps_per_dispatch=2),
+                       str(tmp_path / "fused"),
+                       eval_language=False, tensorboard=False)
+    finally:
+        CaptionDataset.__init__ = orig_init
+
+    h1 = json.load(open(tmp_path / "unfused" / "history.json"))
+    h2 = json.load(open(tmp_path / "fused" / "history.json"))
+    assert len(h1) == len(h2) == 1
+    np.testing.assert_allclose(h1[0]["train"]["loss_per_word"],
+                               h2[0]["train"]["loss_per_word"], rtol=1e-5)
+    np.testing.assert_allclose(h1[0]["val"]["loss_per_word"],
+                               h2[0]["val"]["loss_per_word"], rtol=1e-5)
 
 
 def test_train_loop_steps_per_dispatch(tmp_path):

@@ -118,6 +118,53 @@ def test_gpipe_composes_with_dp():
                                np.asarray(ref_y), rtol=1e-6, atol=1e-6)
 
 
+def test_gpipe_composes_with_dp_tp():
+    """The full 3-axis composition on one mesh (dp2×pp2×tp2, 8 devices):
+    the shard_map is manual over pp/dp only; tp stays an AUTO axis, so
+    GSPMD partitions the matmuls inside each stage from the tp-pinned
+    stacked params (pin_stacked_tp).  Forward and gradients must match
+    the sequential stack (round-3 VERDICT item 1)."""
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.parallel.mesh import make_mesh
+    from svpc_tpu.parallel.pipeline import gpipe, pin_stacked_tp
+
+    assert len(jax.devices()) >= 8
+    cfg, stacked, x, mask, stage_fn = _setup(n_layers=4, B=8)
+    ref_y, _ = _sequential(stage_fn, stacked, (x, mask))
+    mesh = make_mesh(2, 2, 2)
+    assert mesh.axis_names == ("dp", "pp", "tp")
+    n_micro = 2
+    mbs = (x.reshape(n_micro, -1, *x.shape[1:]),
+           mask.reshape(n_micro, -1, mask.shape[1]))
+
+    def run(p, m):
+        return gpipe(stage_fn, pin_stacked_tp(p, mesh), m, mesh,
+                     batch_axis="dp")
+
+    out, _ = jax.jit(run)(stacked, mbs)
+    np.testing.assert_allclose(np.asarray(out).reshape(ref_y.shape),
+                               np.asarray(ref_y), rtol=1e-5, atol=1e-5)
+
+    def loss_pipe(p):
+        y, _ = run(p, mbs)
+        return jnp.sum(y ** 2)
+
+    def loss_seq(p):
+        y, _ = _sequential(stage_fn, p, (x, mask))
+        return jnp.sum(y ** 2)
+
+    l_p, g_p = jax.jit(jax.value_and_grad(loss_pipe))(stacked)
+    l_s, g_s = jax.jit(jax.value_and_grad(loss_seq))(stacked)
+    np.testing.assert_allclose(float(l_p), float(l_s), rtol=1e-5)
+    flat_s = dict(jax.tree_util.tree_leaves_with_path(g_s))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g_p):
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_s[path]),
+            rtol=2e-4, atol=1e-4,  # tp changes reduction order
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_gpipe_remat_matches():
     import jax
     import jax.numpy as jnp
@@ -174,13 +221,13 @@ def test_microbatch_split_merge_roundtrip_and_auto():
 # the REAL model under --pp_size (round-2 VERDICT item 2)
 # --------------------------------------------------------------------- #
 
-def _pp_model_setup(n_layers=4, batch=4, dropout0=False):
+def _pp_model_setup(n_layers=4, batch=4, dropout0=False, tp=1):
     import jax
     import jax.numpy as jnp
     from svpc_tpu.config import tiny_test_config
     from svpc_tpu.data.synthetic import synthetic_batch
     from svpc_tpu.model import SVPCModel
-    from svpc_tpu.parallel.mesh import make_mesh, shard_batch
+    from svpc_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
 
     cfg = tiny_test_config("full").replace_model(num_hidden_layers=n_layers)
     if dropout0:
@@ -191,8 +238,9 @@ def _pp_model_setup(n_layers=4, batch=4, dropout0=False):
         # optimizer
         cfg = cfg.replace_model(hidden_dropout_prob=0.0,
                                 attention_probs_dropout_prob=0.0)
-    cfg = cfg.replace_train(batch_size=batch, dp_size=2, pp_size=2)
-    mesh = make_mesh(2, 1, 2)
+    cfg = cfg.replace_train(batch_size=batch, dp_size=2, pp_size=2,
+                            tp_size=tp)
+    mesh = make_mesh(2, tp, 2)
     batch_np = synthetic_batch(cfg, batch, seed=0)
     rngs = {"params": jax.random.PRNGKey(0),
             "dropout": jax.random.PRNGKey(1),
@@ -202,6 +250,8 @@ def _pp_model_setup(n_layers=4, batch=4, dropout0=False):
         rngs, {k: jnp.asarray(v) for k, v in batch_np.items()},
         deterministic=True)
     pp_model = SVPCModel(cfg.model, pp_mesh=mesh)
+    if tp > 1:
+        params = {"params": shard_params(mesh, params["params"])}
     return cfg, mesh, seq_model, pp_model, params, shard_batch(mesh, batch_np)
 
 
@@ -271,6 +321,65 @@ def test_pp_model_train_trajectory_matches_pp1():
     assert len(jax.devices()) >= 4
     cfg, mesh, seq_model, pp_model, params, sharded = _pp_model_setup(
         dropout0=True)
+    tx = make_optimizer(cfg.train, steps_per_epoch=10,
+                        model_mode=cfg.model.model_mode,
+                        n_layers=cfg.model.num_hidden_layers)
+
+    def run(model):
+        state = TrainState.create(
+            jax.tree.map(lambda x: x, params), tx, use_ema=True)
+        step = jax.jit(make_train_step(model, tx, cfg))
+        rng = jax.random.PRNGKey(9)
+        losses = []
+        for _ in range(3):
+            state, m = step(state, sharded, rng)
+            losses.append(float(m["loss"]))
+        return state, losses
+
+    s_seq, l_seq = run(seq_model)
+    s_pp, l_pp = run(pp_model)
+    np.testing.assert_allclose(l_pp, l_seq, rtol=1e-3)
+    assert _delta_l2_ratio(s_pp.params, s_seq.params, params) <= 0.02
+    assert _delta_l2_ratio(s_pp.ema_shadow, s_seq.ema_shadow,
+                           params["params"]) <= 0.02
+
+
+def test_pp_model_composes_with_tp():
+    """SVPCModel trained on the FULL 3-axis dp2×pp2×tp2 mesh (round-3
+    VERDICT item 1): loss + per-leaf grads match the sequential model to
+    tp-reduction-order tolerance, and a K=3 BertAdam+EMA trajectory
+    (dropout 0) tracks the sequential run's (same aggregate-delta metric
+    as the dp×pp trajectory test)."""
+    import jax
+    from svpc_tpu.train.optim import make_optimizer
+    from svpc_tpu.train.state import TrainState
+    from svpc_tpu.train.step import make_train_step
+
+    assert len(jax.devices()) >= 8
+    cfg, mesh, seq_model, pp_model, params, sharded = _pp_model_setup(
+        dropout0=True, tp=2)
+    assert mesh.shape == {"dp": 2, "pp": 2, "tp": 2}
+
+    def loss_fn(model):
+        def f(p):
+            out = model.apply({"params": p}, sharded, deterministic=True,
+                              rngs={"gumbel": jax.random.PRNGKey(3)})
+            return out.total_loss
+        return f
+
+    l_s, g_s = jax.jit(jax.value_and_grad(loss_fn(seq_model)))(
+        params["params"])
+    l_p, g_p = jax.jit(jax.value_and_grad(loss_fn(pp_model)))(
+        params["params"])
+    np.testing.assert_allclose(float(l_p), float(l_s), rtol=1e-5)
+    gscale = max(np.abs(np.asarray(l)).max() for l in jax.tree.leaves(g_s))
+    flat_s = dict(jax.tree_util.tree_leaves_with_path(g_s))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g_p):
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_s[path]),
+            rtol=2e-4, atol=1e-4 * gscale,
+            err_msg=jax.tree_util.keystr(path))
+
     tx = make_optimizer(cfg.train, steps_per_epoch=10,
                         model_mode=cfg.model.model_mode,
                         n_layers=cfg.model.num_hidden_layers)
@@ -370,6 +479,201 @@ def test_pp_train_e2e_matches_pp1(tmp_path):
     assert len(h_pp) == len(h_1) == 1
     np.testing.assert_allclose(h_pp[0]["train"]["loss_per_word"],
                                h_1[0]["train"]["loss_per_word"], rtol=1e-5)
+
+
+def test_pp_tp_train_e2e(tmp_path):
+    """`train()` — the cli.train surface — runs end-to-end on the full
+    3-axis mesh (`--dp_size 2 --tp_size 2 --pp_size 2`, 8 devices,
+    tp-padded odd vocab) and reproduces the pp1/tp1 run's per-epoch train
+    loss to tp-reduction tolerance (dropout 0)."""
+    import json
+    import jax
+    from tests import reference_bridge as rb
+
+    if not rb.reference_available():
+        pytest.skip("reference repo not mounted")
+    assert len(jax.devices()) >= 8
+    names, feat_dir, dur_file = rb.setup_features(3)
+    dims = dict(rb.DIMS, num_hidden_layers=4, hidden_dropout_prob=0.0,
+                attention_probs_dropout_prob=0.0)
+    cfg, _ = rb.build_ours("full", feat_dir, dur_file, dims=dims)
+    cfg = cfg.replace_model(vocab_pad_multiple=2)  # V=951 is odd
+    base = cfg.replace_train(batch_size=2, val_batch_size=2, n_epoch=1,
+                             ema_decay=0.9999)
+
+    from svpc_tpu.data.pipeline import CaptionDataset
+    from svpc_tpu.train import loop as loop_mod
+
+    orig_init = CaptionDataset.__init__
+
+    def patched_init(self, c, split, **kw):
+        orig_init(self, c, "val", **kw)
+        self.split = split
+
+    CaptionDataset.__init__ = patched_init
+    try:
+        loop_mod.train(base.replace_train(dp_size=2, tp_size=2, pp_size=2),
+                       str(tmp_path / "pp_tp"), max_steps_per_epoch=2,
+                       eval_language=False, tensorboard=False)
+        loop_mod.train(base, str(tmp_path / "flat"), max_steps_per_epoch=2,
+                       eval_language=False, tensorboard=False)
+    finally:
+        CaptionDataset.__init__ = orig_init
+
+    h_m = json.load(open(tmp_path / "pp_tp" / "history.json"))
+    h_1 = json.load(open(tmp_path / "flat" / "history.json"))
+    assert len(h_m) == len(h_1) == 1
+    np.testing.assert_allclose(h_m[0]["train"]["loss_per_word"],
+                               h_1[0]["train"]["loss_per_word"], rtol=1e-4)
+
+
+# --------------------------------------------------------------------- #
+# pipeline-RESIDENT parameter storage (round-3 VERDICT item 2)
+# --------------------------------------------------------------------- #
+
+def test_stack_unstack_roundtrip():
+    """stack_trunk_params / unstack_trunk_params are exact inverses on
+    value trees AND abstract ShapeDtypeStruct templates, and only touch
+    complete layer_i families."""
+    import jax
+    import jax.numpy as jnp
+    from svpc_tpu.parallel.pipeline import (has_stacked_trunks,
+                                            stack_trunk_params,
+                                            unstack_trunk_params)
+
+    tree = {
+        "encoder": {"layer_0": {"w": jnp.ones((2, 3)), "b": jnp.zeros(3)},
+                    "layer_1": {"w": 2 * jnp.ones((2, 3)),
+                                "b": jnp.ones(3)}},
+        "head": {"kernel": jnp.ones((3, 4))},
+        # an incomplete family (a single layer_0) must NOT stack
+        "solo": {"layer_0": {"w": jnp.ones(2)}},
+    }
+    stacked = stack_trunk_params(tree)
+    assert has_stacked_trunks(stacked) and not has_stacked_trunks(tree)
+    assert "layers" in stacked["encoder"]
+    assert "layer_0" not in stacked["encoder"]
+    assert stacked["encoder"]["layers"]["w"].shape == (2, 2, 3)
+    assert "layer_0" in stacked["solo"]
+    back = unstack_trunk_params(stacked)
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(tree)[0],
+            jax.tree_util.tree_flatten_with_path(back)[0]):
+        assert jax.tree_util.keystr(p1) == jax.tree_util.keystr(p2)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree)
+    st_abs = stack_trunk_params(abstract)
+    assert st_abs["encoder"]["layers"]["w"].shape == (2, 2, 3)
+    rt = unstack_trunk_params(st_abs)
+    assert (jax.tree_util.tree_structure(rt)
+            == jax.tree_util.tree_structure(abstract))
+
+
+def test_pp_resident_params_trajectory_and_residency():
+    """The pipeline-RESIDENT layout (stacked `layers` storage, sharded
+    P("pp", ...) at rest): 3 real train steps under dp2×pp2 track the
+    sequential per-layer-storage trajectory (same aggregate metric as the
+    other pp trajectory tests — the per-layer BertAdam clip and the
+    torch-style global norm are computed per layer SLICE on stacked
+    leaves), and every stacked leaf really stores only 1/pp per device
+    after the pinned step."""
+    import jax
+    from svpc_tpu.parallel.mesh import (replicated_sharding, shard_params,
+                                        state_shardings)
+    from svpc_tpu.parallel.pipeline import stack_trunk_params
+    from svpc_tpu.train.optim import make_optimizer
+    from svpc_tpu.train.state import TrainState
+    from svpc_tpu.train.step import make_train_step
+
+    assert len(jax.devices()) >= 4
+    cfg, mesh, seq_model, pp_model, params, sharded = _pp_model_setup(
+        dropout0=True)
+    tx = make_optimizer(cfg.train, steps_per_epoch=10,
+                        model_mode=cfg.model.model_mode,
+                        n_layers=cfg.model.num_hidden_layers)
+
+    def run(model, p, out_shardings=None):
+        state = TrainState.create(p, tx, use_ema=True)
+        if out_shardings is not None:
+            state = shard_params(mesh, state)
+            pinned = (state_shardings(state), replicated_sharding(mesh))
+            step = jax.jit(make_train_step(model, tx, cfg),
+                           out_shardings=pinned)
+        else:
+            step = jax.jit(make_train_step(model, tx, cfg))
+        rng = jax.random.PRNGKey(9)
+        losses = []
+        for _ in range(3):
+            state, m = step(state, sharded, rng)
+            losses.append(float(m["loss"]))
+        return state, losses
+
+    s_seq, l_seq = run(seq_model, params)
+    stacked_params = {"params": stack_trunk_params(params["params"])}
+    s_pp, l_pp = run(pp_model, stacked_params, out_shardings=True)
+
+    np.testing.assert_allclose(l_pp, l_seq, rtol=1e-3)
+    from svpc_tpu.parallel.pipeline import unstack_trunk_params
+    got = unstack_trunk_params(jax.device_get(s_pp.params))
+    got_ema = unstack_trunk_params(jax.device_get(s_pp.ema_shadow))
+    assert _delta_l2_ratio(got, s_seq.params, params) <= 0.02
+    assert _delta_l2_ratio(got_ema, s_seq.ema_shadow,
+                           params["params"]) <= 0.02
+
+    # residency: stacked leaves hold 1/pp per device — params AND moments
+    from tests.test_zero1 import _adam_state
+    for tree in (s_pp.params, _adam_state(s_pp.opt_state).m,
+                 s_pp.ema_shadow):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        stacked = [x for p, x in flat
+                   if any(getattr(k, "key", None) == "layers" for k in p)]
+        assert stacked
+        for x in stacked:
+            shard = x.addressable_shards[0].data
+            assert shard.size * 2 <= x.size, (x.shape, shard.shape)
+
+
+def test_pp_resident_checkpoint_cross_layout(tmp_path):
+    """A checkpoint saved in the pipeline-resident (stacked) layout
+    restores into a non-pp (per-layer) template and vice versa — the
+    layout bridge inside load_checkpoint."""
+    import jax
+    from svpc_tpu.config import tiny_test_config
+    from svpc_tpu.data.synthetic import synthetic_batch
+    from svpc_tpu.model import SVPCModel
+    from svpc_tpu.parallel.pipeline import stack_trunk_params
+    from svpc_tpu.train.optim import make_optimizer
+    from svpc_tpu.train.state import (TrainState, load_checkpoint,
+                                      save_checkpoint)
+
+    import jax.numpy as jnp
+    cfg = tiny_test_config("copy")
+    model = SVPCModel(cfg.model)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(cfg, 2, seed=0).items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    params = model.init(rngs, batch, deterministic=True)
+    tx = make_optimizer(cfg.train, steps_per_epoch=10)
+
+    stacked_state = TrainState.create(
+        {"params": stack_trunk_params(params["params"])}, tx, use_ema=True)
+    save_checkpoint(str(tmp_path), stacked_state, cfg, name="pp_ckpt")
+
+    flat_state = TrainState.create(params, tx, use_ema=True)
+    restored = load_checkpoint(str(tmp_path / "pp_ckpt"), flat_state)
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(flat_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    save_checkpoint(str(tmp_path), flat_state, cfg, name="flat_ckpt")
+    restored2 = load_checkpoint(str(tmp_path / "flat_ckpt"), stacked_state)
+    for a, b in zip(jax.tree.leaves(restored2.params),
+                    jax.tree.leaves(stacked_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_pp_size_must_divide_layers(tmp_path):
