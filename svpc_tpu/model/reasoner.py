@@ -55,7 +55,11 @@ class EntityReasoner(nn.Module):
         h = nn.Dense(cfg.lstm_hidden_size, kernel_init=init, dtype=dt,
                      name="action_selector_0")(step_vectors)
         h = jax.nn.relu(h)
-        h = nn.Dropout(0.4)(h, deterministic=deterministic)
+        # the reference hardcodes p=0.4 here (model.py:757); surfaced as
+        # cfg.reasoner_dropout_prob (default 0.4) so numerics-parity
+        # tests can zero EVERY stochastic path
+        h = nn.Dropout(cfg.reasoner_dropout_prob)(
+            h, deterministic=deterministic)
         ac_probs = jax.nn.sigmoid(
             nn.Dense(cfg.action_vocab_size, kernel_init=init, dtype=dt,
                      name="action_selector_1")(h))  # (B,S,A)

@@ -278,3 +278,139 @@ def test_greedy_parity_paper_geometry(paper_setup):
         assert not mismatch.any(), (
             f"ex {b}: {mismatch.sum()} token mismatches\n"
             f"ref:\n{ref_tokens}\ngot:\n{got[b, :s_b]}")
+
+
+def test_training_trajectory_parity_paper_geometry():
+    """K=3 full reference training steps (backward -> clip_grad_norm_(1)
+    -> BertAdam -> warmup-aware EMA, src/train.py:126-143) AT THE
+    FLAGSHIP geometry, full mode — extends test_train_parity.py's
+    miniature K-step proof to the experiment of record (round-3 VERDICT
+    item 7).  Same assertion design: per-step loss sequence + aggregate
+    delta-L2 ratio (per-element bounds are ill-posed under BertAdam's
+    sign-like m/sqrt(v); see tests/test_train_parity.py docstring)."""
+    import jax
+    import torch
+
+    # LR 1e-4 (vs the miniature test's 1e-3): BertAdam's first updates
+    # are sign-like with magnitude ~3.16*lr_t PER ELEMENT regardless of
+    # gradient scale, and at 44M params lr 1e-3 moves the loss +58% in
+    # one step — far outside the regime where two correct f32
+    # realizations stay within a meaningful loss tolerance.  1e-4 still
+    # moves every parameter measurably (the delta-L2 assertions below
+    # have a healthy denominator) and the clip still fires.
+    K_STEPS, LR, WARMUP, T_TOTAL = 3, 1e-4, 0.2, 50
+    # reasoner_dropout_prob zeroes the reference's hardcoded p=0.4
+    # action-selector dropout (model.py:757) — the torch side is in
+    # eval(), so leaving it on would make only OUR side stochastic
+    dims = dict(rb.PAPER_DIMS, hidden_dropout_prob=0.0,
+                attention_probs_dropout_prob=0.0,
+                reasoner_dropout_prob=0.0)
+    names, feat_dir, dur_file = rb.setup_features(
+        N_VIDEOS, feat_dims=(2048, 1024), tag="_paper")
+    ref_model, ref_ds, _ = rb.build_reference(
+        "full", feat_dir, dur_file, geom=rb.PAPER_GEOM, dims=dims)
+    # importable only after build_reference put the reference on sys.path
+    from src.rtransformer.optimization import EMA, BertAdam
+    cfg, ours_ds = rb.build_ours(
+        "full", feat_dir, dur_file, geom=rb.PAPER_GEOM, dims=dims)
+    rb.patch_deterministic_gumbel()
+
+    idx = list(range(N_VIDEOS))
+    from svpc_tpu.data.pipeline import batch_examples
+    batch = batch_examples([ours_ds[i] for i in idx])
+    model, params, jbatch = rb.import_weights_into(cfg, ref_model, batch)
+
+    from flax.traverse_util import flatten_dict
+    from svpc_tpu.model.import_torch import build_mapping
+
+    def mapped(state):
+        out = {}
+        for f_key, (t_key, transform) in build_mapping(
+                "full", cfg.model.num_hidden_layers).items():
+            if t_key not in state and t_key + ".weight" in state:
+                t_key = t_key + ".weight"
+            v = state[t_key]
+            out[f_key] = v.T if transform == "T" else v
+        return out
+
+    init = mapped({n: p.detach().numpy().copy()
+                   for n, p in ref_model.named_parameters()})
+
+    # --- torch side (grouping per train.py:339-343) ---
+    no_decay = ["bias", "LayerNorm.bias", "LayerNorm.weight"]
+    named = list(ref_model.named_parameters())
+    groups = [
+        {"params": [p for n, p in named
+                    if not any(nd in n for nd in no_decay)],
+         "weight_decay": 0.01},
+        {"params": [p for n, p in named
+                    if any(nd in n for nd in no_decay)],
+         "weight_decay": 0.0},
+    ]
+    opt = BertAdam(groups, lr=LR, warmup=WARMUP, t_total=T_TOTAL,
+                   schedule="warmup_linear")
+    ema = EMA(0.9999)
+    for n, p in named:
+        if p.requires_grad:
+            ema.register(n, p.data)
+    ref_losses = []
+    for k in range(K_STEPS):
+        opt.zero_grad()
+        inputs, metas, ingr = rb.reference_batch(ref_ds, idx)
+        total, *_ = ref_model(
+            inputs["input_ids_list"], inputs["video_features_list"],
+            inputs["input_masks_list"], inputs["token_type_ids_list"],
+            inputs["input_labels_list"], inputs["ingr_input_ids"],
+            inputs["ingr_masks"], inputs["ingr_sep_masks"],
+            inputs["batch_step_num"], inputs["ingr_id_dict"],
+            inputs["extra_zeros"], inputs["alignments"], inputs["actions"],
+            predict=False)
+        ref_losses.append(float(total.detach()))
+        total.backward()
+        torch.nn.utils.clip_grad_norm_(ref_model.parameters(), 1.0)
+        opt.step()
+        ema(ref_model, k)
+    ref_final = mapped({n: p.detach().numpy().copy()
+                        for n, p in ref_model.named_parameters()})
+    ref_shadow = mapped({n: v.numpy().copy()
+                         for n, v in ema.shadow.items()})
+
+    # --- our side: the production train step machinery ---
+    from svpc_tpu.train.optim import make_optimizer
+    from svpc_tpu.train.state import TrainState
+    from svpc_tpu.train.step import make_train_step
+
+    tcfg = cfg.replace_train(lr=LR, lr_warmup_proportion=WARMUP,
+                             n_epoch=10, grad_clip=1.0, ema_decay=0.9999)
+    tx = make_optimizer(tcfg.train, steps_per_epoch=T_TOTAL // 10,
+                        model_mode=cfg.model.model_mode,
+                        n_layers=cfg.model.num_hidden_layers)
+    state = TrainState.create(params, tx, use_ema=True)
+    step = jax.jit(make_train_step(model, tx, tcfg))
+    rng = jax.random.PRNGKey(11)
+    our_losses = []
+    for _ in range(K_STEPS):
+        state, metrics = step(state, jbatch, rng)
+        our_losses.append(float(metrics["loss"]))
+    got_final = {"/".join(k): np.asarray(v) for k, v in
+                 flatten_dict(state.params["params"]).items()}
+    got_shadow = {"/".join(k): np.asarray(v) for k, v in
+                  flatten_dict(state.ema_shadow).items()}
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-3,
+                               err_msg="paper-geometry loss sequence")
+
+    def compare(got, ref, what):
+        num = den = 0.0
+        for key, rv in ref.items():
+            d_got = (got[key] - init[key]).astype(np.float64)
+            d_ref = (rv - init[key]).astype(np.float64)
+            num += float(np.sum((d_got - d_ref) ** 2))
+            den += float(np.sum(d_ref ** 2))
+        assert den > 0, "params did not move"
+        ratio = (num / den) ** 0.5
+        assert ratio <= 0.10, (
+            f"paper {what}: aggregate delta L2 ratio {ratio:.4f}")
+
+    compare(got_final, ref_final, "param")
+    compare(got_shadow, ref_shadow, "ema")

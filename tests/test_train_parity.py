@@ -53,8 +53,13 @@ LR = 1e-3            # big enough that 3 updates move params measurably
 WARMUP, T_TOTAL = 0.2, 50
 
 # dropout 0 on both sides: this is numerics parity, not a stochastic test
+# (reasoner_dropout_prob covers the reference's hardcoded p=0.4 in the
+# action selector, model.py:757 — the one dropout the other two knobs
+# miss; the torch model is in eval() so only OUR training-mode side
+# would sample it)
 DIMS = dict(rb.DIMS, hidden_dropout_prob=0.0,
-            attention_probs_dropout_prob=0.0)
+            attention_probs_dropout_prob=0.0,
+            reasoner_dropout_prob=0.0)
 
 
 @pytest.fixture(scope="module")
