@@ -78,6 +78,33 @@ def _setup(base_cfg, batch_size, packed, baseline):
     return cfg, model, batch, params, total_clips
 
 
+# MXU bf16 peak per chip, by device_kind (public spec sheets); MFU is
+# reported against the bf16 peak (the bench's production dtype).
+# SVPC_BENCH_PEAK_TFLOPS overrides for kinds not listed.
+_PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,   # v5e
+    "TPU v5": 459.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,   # v6e / Trillium
+    "TPU v6e": 918.0,
+}
+
+
+def _step_flops(compiled, scan: int):
+    """Per-optimizer-step FLOPs from XLA's own cost model of the
+    compiled executable (the analytic census that validated the one-off
+    xprof accounting in DESIGN.md §7, now computed per run)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops / max(scan, 1) if flops > 0 else None
+    except Exception:  # noqa: BLE001 — optional instrumentation
+        return None
+
+
 def bench_train(base_cfg, batch_size, iters, packed, baseline, scan=1):
     import jax
     import jax.numpy as jnp
@@ -99,15 +126,18 @@ def bench_train(base_cfg, batch_size, iters, packed, baseline, scan=1):
             # k-steps-per-dispatch (cli --steps_per_dispatch): one scan
             # program carries `scan` optimizer steps — same math, fewer
             # dispatch RPCs (the measured residual at this geometry)
-            train_step = jax.jit(make_multi_train_step(model, tx, cfg),
-                                 donate_argnums=0)
+            step_fn = make_multi_train_step(model, tx, cfg)
             batch = jax.tree.map(
                 lambda x: jnp.broadcast_to(x[None], (scan,) + x.shape),
                 batch)
         else:
-            train_step = jax.jit(make_train_step(model, tx, cfg),
-                                 donate_argnums=0)
+            step_fn = make_train_step(model, tx, cfg)
         rng = training_rng(3, cfg.train.rng_impl)
+        # AOT-compile so the SAME executable yields the timing loop and
+        # the XLA cost analysis (per-step FLOPs -> extras.mfu)
+        train_step = jax.jit(step_fn, donate_argnums=0).lower(
+            state, batch, rng).compile()
+        flops = _step_flops(train_step, scan)
 
         def sync(metrics):
             # block_until_ready is a no-op on the experimental axon
@@ -115,7 +145,7 @@ def bench_train(base_cfg, batch_size, iters, packed, baseline, scan=1):
             loss = metrics["loss"]
             return float(loss[-1] if scan > 1 else loss)
 
-        state, m = train_step(state, batch, rng)  # warmup / compile
+        state, m = train_step(state, batch, rng)  # warmup
         sync(m)
 
         n = max(iters // scan, 3) if scan > 1 else iters
@@ -124,7 +154,7 @@ def bench_train(base_cfg, batch_size, iters, packed, baseline, scan=1):
             state, m = train_step(state, batch, rng)
         sync(m)
         dt = (time.perf_counter() - t0) / (n * scan)
-    return total_clips / dt
+    return total_clips / dt, dt, flops
 
 
 def bench_decode(base_cfg, batch_size, iters, packed, baseline):
@@ -202,16 +232,40 @@ def main():
     scan = int(os.environ.get("SVPC_BENCH_SCAN", "1"))
 
     train_sweep = {}
+    step_info = {}
     for b in sweep:
-        train_sweep[f"b{b}"] = round(
-            _measure_with_retry(bench_train, base_cfg, b, iters, packed,
-                                baseline, scan=scan, what=f"train b{b}"), 2)
+        cps, dt, flops = _measure_with_retry(
+            bench_train, base_cfg, b, iters, packed, baseline, scan=scan,
+            what=f"train b{b}")
+        train_sweep[f"b{b}"] = round(cps, 2)
+        step_info[b] = (dt, flops)
     best = max(train_sweep.values())
     vs_baseline = (best / baseline["train_clips_per_sec"]
                    if baseline else None)
 
     extras = {"train_sweep": train_sweep, "dtype": compute_dtype,
               "optimizer_dtype": opt_dtype, "packed": packed}
+
+    # model FLOP utilization at the largest swept batch (the production
+    # point): XLA-counted FLOPs of the compiled step / measured step time
+    # / chip bf16 peak.  Makes the efficiency a per-round ARTIFACT (and a
+    # pinned band below) instead of one xprof session's archaeology
+    # (round-3 VERDICT item 3; DESIGN.md §7 measured 134 TFLOP/s = 68%
+    # on compute fusions — the all-in number here includes the
+    # HBM-roofline optimizer slice, so its honest band is lower).
+    import jax
+    kind = jax.devices()[0].device_kind
+    peak = float(os.environ.get("SVPC_BENCH_PEAK_TFLOPS", "0")) \
+        or _PEAK_TFLOPS.get(kind)
+    mfu_batch = max(sweep)
+    dt, flops = step_info[mfu_batch]
+    extras["device_kind"] = kind
+    if flops:
+        extras["flops_per_step"] = round(flops)
+        extras["tflops"] = round(flops / dt / 1e12, 2)
+        if peak:
+            extras["mfu"] = round(flops / dt / 1e12 / peak, 4)
+            extras["mfu_batch"] = mfu_batch
     if run_decode:
         # decode keeps scaling past the train sweet spot (B=64 measured
         # above B=32/48 — serving numbers in BASELINE.md).  A decode-half
@@ -260,7 +314,11 @@ def main():
         if applicable:
             tol = float(pin.get("tolerance", 0.1))
             reg = {"tolerance": tol, "status": "ok"}
-            r = best / float(pin["train_clips_per_sec"])
+            # compare the measurement taken at the pin's OWN batch size
+            # (the sweep max could come from a different batch, which
+            # would make the ratio a cross-condition comparison)
+            at_pin_batch = train_sweep[f"b{cond.get('train_batch', 32)}"]
+            r = at_pin_batch / float(pin["train_clips_per_sec"])
             reg["train_vs_pin"] = round(r, 3)
             if r < 1.0 - tol:
                 reg["status"] = "regressed"
@@ -269,6 +327,16 @@ def main():
                 rd = dec / float(pin["decode_clips_per_sec"])
                 reg["decode_vs_pin"] = round(rd, 3)
                 if rd < 1.0 - tol:
+                    reg["status"] = "regressed"
+            # efficiency guard: a lost fusion that throughput variance
+            # masks still shows as an MFU drop (FLOPs are exact, time is
+            # the same measurement as throughput)
+            mfu = extras.get("mfu")
+            if mfu and pin.get("mfu") \
+                    and extras.get("mfu_batch") == cond.get("train_batch"):
+                rm = mfu / float(pin["mfu"])
+                reg["mfu_vs_pin"] = round(rm, 3)
+                if rm < 1.0 - tol:
                     reg["status"] = "regressed"
             extras["regression"] = reg
             if reg["status"] != "ok":
