@@ -412,3 +412,90 @@ def test_train_loop_spd_respects_step_cap(tmp_path):
                                h2[0]["train"]["loss_per_word"], rtol=1e-5)
     np.testing.assert_allclose(h1[0]["val"]["loss_per_word"],
                                h2[0]["val"]["loss_per_word"], rtol=1e-5)
+
+
+def test_train_loop_spd_accum_midepoch_resume(tmp_path):
+    """Mid-epoch kill + resume under the FUSED dispatch×accum path
+    (--steps_per_dispatch 2 --grad_accum_steps 2): saves land only at
+    dispatch boundaries (multiples of spd*accum host batches), so the
+    resume skip re-aligns the accumulation groups exactly — the resumed
+    run lands on the uninterrupted trajectory bit-exact (5 host batches:
+    one (2,2) dispatch, save, kill, resume into the (1,1) tail)."""
+    import json
+    import jax
+
+    from tests import reference_bridge as rb
+
+    if not rb.reference_available():
+        pytest.skip("reference repo not mounted")
+
+    names, feat_dir, dur_file = rb.setup_features(5)
+    cfg, _ = rb.build_ours("copy", feat_dir, dur_file)
+    cfg = cfg.replace_train(batch_size=1, val_batch_size=2, n_epoch=1,
+                            max_es_cnt=10, grad_accum_steps=2,
+                            steps_per_dispatch=2,
+                            checkpoint_every_steps=1)
+    from svpc_tpu.data.pipeline import CaptionDataset
+    from svpc_tpu.train import loop as loop_mod
+    import svpc_tpu.runtime as rt
+
+    orig_init = CaptionDataset.__init__
+
+    def patched_init(self, c, split, **kw):
+        orig_init(self, c, "val", **kw)
+        self.split = split
+
+    class Boom(Exception):
+        pass
+
+    orig_retry = rt.transient_retry
+    calls = {"n": 0}
+
+    def bombing_retry(fn, attempts=3, what="step"):
+        wrapped = orig_retry(fn, attempts, what)
+        if what != "multi train step":
+            return wrapped
+
+        def bomb(*a, **k):
+            if calls["n"] >= 1:  # first (2,2) dispatch succeeds
+                raise Boom()
+            calls["n"] += 1
+            return wrapped(*a, **k)
+
+        return bomb
+
+    CaptionDataset.__init__ = patched_init
+    try:
+        res_a = loop_mod.train(cfg, str(tmp_path / "a"),
+                               eval_language=False, tensorboard=False)
+
+        rt.transient_retry = bombing_retry
+        try:
+            with pytest.raises(Boom):
+                loop_mod.train(cfg, str(tmp_path / "b"),
+                               eval_language=False, tensorboard=False)
+        finally:
+            rt.transient_retry = orig_retry
+
+        prog = json.load(open(tmp_path / "b" /
+                              "checkpoint_last.progress.json"))
+        # dispatch-boundary save: 4 host batches = 2 optimizer steps
+        assert prog == {"epoch": 0, "batches_done": 4, "step": 2}
+
+        res_b = loop_mod.train(
+            cfg, str(tmp_path / "b"), eval_language=False,
+            tensorboard=False,
+            resume_from=str(tmp_path / "b" / "checkpoint_last"))
+    finally:
+        CaptionDataset.__init__ = orig_init
+
+    a_leaves = jax.tree.leaves(jax.device_get(
+        (res_a["state"].params, res_a["state"].opt_state,
+         res_a["state"].ema_shadow)))
+    b_leaves = jax.tree.leaves(jax.device_get(
+        (res_b["state"].params, res_b["state"].opt_state,
+         res_b["state"].ema_shadow)))
+    assert len(a_leaves) == len(b_leaves)
+    for la, lb in zip(a_leaves, b_leaves):
+        assert np.array_equal(np.asarray(la), np.asarray(lb))
+    assert int(res_a["state"].step) == int(res_b["state"].step) == 3

@@ -676,6 +676,53 @@ def test_pp_resident_checkpoint_cross_layout(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_pp_train_resume_e2e(tmp_path):
+    """A pp run's checkpoint_last (pipeline-resident stacked layout)
+    resumes INTO a pp run: `train()` continues with the stacked template
+    matching directly, epochs accumulate, losses stay finite."""
+    import json
+    import jax
+    from tests import reference_bridge as rb
+
+    if not rb.reference_available():
+        pytest.skip("reference repo not mounted")
+    assert len(jax.devices()) >= 4
+    names, feat_dir, dur_file = rb.setup_features(3)
+    dims = dict(rb.DIMS, num_hidden_layers=4)
+    cfg, _ = rb.build_ours("copy", feat_dir, dur_file, dims=dims)
+    cfg = cfg.replace_train(batch_size=2, val_batch_size=2, n_epoch=2,
+                            max_es_cnt=10, dp_size=2, pp_size=2)
+
+    from svpc_tpu.data.pipeline import CaptionDataset
+    from svpc_tpu.train import loop as loop_mod
+
+    orig_init = CaptionDataset.__init__
+
+    def patched_init(self, c, split, **kw):
+        orig_init(self, c, "val", **kw)
+        self.split = split
+
+    CaptionDataset.__init__ = patched_init
+    try:
+        loop_mod.train(cfg, str(tmp_path), max_steps_per_epoch=2,
+                       eval_language=False, tensorboard=False)
+        result = loop_mod.train(
+            cfg.replace_train(n_epoch=4), str(tmp_path),
+            max_steps_per_epoch=2, eval_language=False, tensorboard=False,
+            resume_from=str(tmp_path / "checkpoint_last"))
+    finally:
+        CaptionDataset.__init__ = orig_init
+
+    hist = json.load(open(tmp_path / "history.json"))
+    assert [h["epoch"] for h in hist] == [0, 1, 2, 3]
+    for h in hist:
+        assert np.isfinite(h["train"]["loss_per_word"])
+    # the resumed state still pipeline-resident
+    from svpc_tpu.parallel.pipeline import has_stacked_trunks
+    assert has_stacked_trunks(
+        jax.device_get(result["state"].params)["params"])
+
+
 def test_pp_size_must_divide_layers(tmp_path):
     from tests import reference_bridge as rb
 
