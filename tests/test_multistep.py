@@ -429,7 +429,10 @@ def test_train_loop_spd_accum_midepoch_resume(tmp_path):
     if not rb.reference_available():
         pytest.skip("reference repo not mounted")
 
-    names, feat_dir, dur_file = rb.setup_features(5)
+    # 5 videos need an isolated fixture dir: the shared one must stay at
+    # <= 3 videos (fix_missing semantics would leak the extras into the
+    # parity/serve/train-loop datasets — reference_bridge.setup_features)
+    names, feat_dir, dur_file = rb.setup_features(5, tag="_spd5")
     cfg, _ = rb.build_ours("copy", feat_dir, dur_file)
     cfg = cfg.replace_train(batch_size=1, val_batch_size=2, n_epoch=1,
                             max_es_cnt=10, grad_accum_steps=2,
