@@ -312,11 +312,8 @@ def gpipe(stage_fn: Callable[[Pytree, Pytree], Pytree],
     def shard_fn(params_local, mbs):
         stage = lax.axis_index(pp_axis)
         tmap = jax.tree_util.tree_map
-        # the carries become device-varying over pp inside the loop (they
-        # depend on axis_index), so mark the initial values varying too
-        vary = lambda v: lax.pcast(v, pp_axis, to="varying")
-        act = tmap(lambda m: vary(jnp.zeros_like(m[0])), mbs)
-        out_buf = tmap(lambda m: vary(jnp.zeros_like(m)), mbs)
+        act = tmap(lambda m: jnp.zeros_like(m[0]), mbs)
+        out_buf = tmap(lambda m: jnp.zeros_like(m), mbs)
 
         def tick(carry, t):
             act, out_buf = carry
@@ -352,7 +349,19 @@ def gpipe(stage_fn: Callable[[Pytree, Pytree], Pytree],
         mb_specs = tmap(lambda _: mb_spec, microbatches)
     in_specs = (tmap(lambda _: P(pp_axis), stacked_params), mb_specs)
     out_specs = mb_specs
-    kw = {}
+    # check_vma=False: with varying-manual analysis ON, transposing the
+    # tick's `where` gating makes shard_map insert psum_invariant
+    # all-reduces in the BACKWARD loop body that are dataflow-independent
+    # of that tick's (reversed) ppermute; XLA:CPU's concurrent thunk
+    # executor can then order the two collectives differently on
+    # different devices — a real cross-device rendezvous deadlock,
+    # reproduced deterministically under dp2×pp2×tp2 + ZeRO-1 on the
+    # 8-virtual-device host (2026-08-21).  With the analysis off, every
+    # value is treated as device-varying: no invariance-repair
+    # collectives exist to race, and the transpose stays plain data flow.
+    # Numerics are unchanged (the whole parity ladder in
+    # tests/test_pipeline.py runs under this setting).
+    kw = {"check_vma": False}
     manual = {pp_axis} | ({batch_axis} if batch_axis else set())
     if set(mesh.axis_names) - manual:
         # extra mesh axes (tensor parallelism) stay AUTOMATIC: the

@@ -12,8 +12,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # 8 virtual device threads time-slice ONE core here; XLA:CPU kills
+    # the whole process (SIGABRT) when a collective's participants don't
+    # all arrive within its default 40 s — on heavy 8-device programs
+    # (3-axis gpipe + zero1) that's routine starvation, not a deadlock
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = flags
 
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

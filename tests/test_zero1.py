@@ -214,11 +214,13 @@ def test_zero1_spec_covers_flagship_geometry():
         sharded_elems / total_elems, replicated[:10])
 
 
-def test_zero1_composes_with_pp():
-    """--zero1 --pp_size (round-3 VERDICT item 5): on a dp2×pp2 mesh
-    with pipeline-RESIDENT stacked trunks, the Adam moments + EMA shard
-    over BOTH axes (pp on the stacked layer axis, dp folded into a free
-    dim) and the 3-step trajectory tracks the single-device run."""
+@pytest.mark.parametrize("tp", [1, 2])
+def test_zero1_composes_with_pp(tp):
+    """--zero1 --pp_size (round-3 VERDICT item 5): on a dp2×pp2 mesh —
+    and, at tp=2, the FULL 3-axis dp2×pp2×tp2 mesh — with
+    pipeline-RESIDENT stacked trunks, the Adam moments + EMA shard over
+    the pp layer axis (+ tp rules) with dp folded into a free dim, and
+    the 3-step trajectory tracks the single-device run."""
     import jax
     import jax.numpy as jnp
     from svpc_tpu.parallel.mesh import (make_mesh, shard_batch,
@@ -229,11 +231,11 @@ def test_zero1_composes_with_pp():
     from svpc_tpu.model import SVPCModel
     from svpc_tpu.train.state import TrainState
 
-    assert len(jax.devices()) >= 4
+    assert len(jax.devices()) >= 4 * tp
     cfg, model, params, batch_np = _setup(mode="full", batch_size=4,
                                           seed=5)
     cfg = cfg.replace_model(num_hidden_layers=4)
-    cfg = cfg.replace_train(dp_size=2, pp_size=2, zero1=True)
+    cfg = cfg.replace_train(dp_size=2, tp_size=tp, pp_size=2, zero1=True)
     # re-init at 4 layers (the _setup init used 2)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
     rngs = {"params": jax.random.PRNGKey(0),
@@ -248,7 +250,7 @@ def test_zero1_composes_with_pp():
     for _ in range(3):
         single, loss_s = jstep(single, batch)
 
-    mesh = make_mesh(dp_size=2, pp_size=2)
+    mesh = make_mesh(dp_size=2, tp_size=tp, pp_size=2)
     pp_model = SVPCModel(cfg.model, pp_mesh=mesh)
     _, step_pp = _make_step(pp_model, cfg)
     stacked = {"params": stack_trunk_params(params["params"])}
