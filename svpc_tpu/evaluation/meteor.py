@@ -114,33 +114,43 @@ def _synonym_set(word: str) -> frozenset:
 
 
 # METEOR 1.5 derives its function-word inventory from corpus statistics:
-# every token with relative corpus frequency > 1e-3 is a function word
-# (the jar's function/en.words comes from large news corpora — data files
-# absent here).  The same RULE applied to the in-repo corpus the metric
-# actually scores — the YC2 training captions, preprocessed with the
-# identical parse_sent normalization the scorer sees — produces the
-# pinned artifact data/function_words.txt (regenerate with
-# tools/derive_function_words.py).  Honest caveat: on a small domain
-# corpus the frequency rule also captures high-frequency domain nouns
-# ("bowl", "pan" ...); that is the rule's output, not curation — a
-# misclassified content word only moves its delta weight .75 -> .25, and
-# all systems are scored under the same list.  SVPC_METEOR_FUNCTION_WORDS
-# points at an alternative list (e.g. the jar's own en.words) when one
-# is available.
+# every token with relative corpus frequency > 1e-3 is a function word.
+# The jar's function/en.words applies that rule to large NEWS corpora
+# (data files absent here) — at that corpus size the output is in effect
+# the closed-class vocabulary, since no content word reaches 0.1% of a
+# news corpus.  The default pinned artifact data/function_words.txt is
+# therefore the BLEND: the frequency rule applied to the in-repo corpus
+# the metric actually scores (YC2 train captions, identical parse_sent
+# normalization) intersected with a curated closed-class inventory, so
+# high-frequency DOMAIN words ("bowl", "add") stay content words exactly
+# as the jar would treat them (round-4 ADVICE).  The raw-rule list
+# (data/function_words_corpus.txt) ships as the opt-in alternative;
+# SVPC_METEOR_FUNCTION_WORDS points at it — or at the jar's own en.words
+# when one is available.  Regenerate both with
+# tools/derive_function_words.py; the backend label in compute_meteor's
+# return carries the list provenance so eval artifacts record which list
+# scored them.
 
 
-def _load_function_words() -> frozenset:
-    path = os.environ.get(
-        "SVPC_METEOR_FUNCTION_WORDS",
-        os.path.join(os.path.dirname(__file__), "data",
-                     "function_words.txt"))
+def _load_function_words():
+    default = os.path.join(os.path.dirname(__file__), "data",
+                           "function_words.txt")
+    path = os.environ.get("SVPC_METEOR_FUNCTION_WORDS", default)
     with open(path) as f:
-        return frozenset(
-            w for w in (line.strip() for line in f
-                        if not line.startswith("#")) if w)
+        lines = f.read().splitlines()
+    words = frozenset(w for w in (line.strip() for line in lines
+                                  if not line.startswith("#")) if w)
+    if path != default:
+        label = os.path.basename(path)
+    else:
+        # "[blend]" / "[corpus]" from the artifact's own header line
+        head = lines[0] if lines else ""
+        label = head[head.find("[") + 1:head.find("]")] \
+            if "[" in head and "]" in head else "pinned"
+    return words, label
 
 
-_FUNCTION_WORDS = _load_function_words()
+_FUNCTION_WORDS, _FUNCTION_WORDS_LABEL = _load_function_words()
 
 
 def _is_content(word: str) -> bool:
@@ -292,10 +302,10 @@ def approximate_meteor(gts: Dict, res: Dict,
     and the spec's alignment search (max weighted matches, then min
     chunks — see _align).  NOT byte-identical to meteor-1.5.jar: the
     residual gaps are the jar's own DATA FILES only — its news-corpus
-    function-word list (ours applies the same frequency rule to the
-    in-repo YC2 corpus, see _load_function_words), and no
-    synonym/paraphrase modules unless WordNet data is locally
-    importable."""
+    function-word list (ours blends the same frequency rule on the
+    in-repo YC2 corpus with a closed-class filter, see
+    _load_function_words), and no synonym/paraphrase modules unless
+    WordNet data is locally importable."""
     ids = sorted(gts.keys(), key=str)
     if not ids:  # empty eval degrades to 0, not ZeroDivisionError
         return 0.0, []
@@ -335,4 +345,5 @@ def compute_meteor(gts: Dict, res: Dict) -> Tuple[float, List[float], str]:
                 scorer.proc.kill()
                 scorer.proc.wait()
     score, scores = approximate_meteor(gts, res)
-    return score, scores, "python-approximation"
+    return (score, scores,
+            f"python-approximation[function_words={_FUNCTION_WORDS_LABEL}]")

@@ -252,14 +252,18 @@ def _resolve_spec(spec: P, shape: tuple, axis_sizes: Dict[str, int]) -> P:
     """Drop spec axes the mesh does not carry, then verify divisibility:
     a TP dim that does not divide its axis demotes the WHOLE leaf's tp
     sharding to replication (mirroring the historical all-or-nothing
-    fallback), while the pp layer axis — always divisible by
-    construction (train() validates pp | num_hidden_layers) — survives
-    independently."""
+    fallback).  The pp layer axis survives the demotion independently —
+    but only when it is itself divisible: ``train()`` guarantees
+    pp | num_hidden_layers on its own trees, yet these helpers are public
+    and callable on ad-hoc stacked leaves, where keeping a non-divisible
+    pp dim would emit an invalid sharding that fails deep inside
+    device_put (round-4 ADVICE)."""
     dims = [ax if ax in axis_sizes else None for ax in spec]
     dims += [None] * (len(shape) - len(dims))
     for d, ax in enumerate(dims):
         if ax is not None and shape[d] % axis_sizes[ax] != 0:
-            dims = [a if a == "pp" else None for a in dims]
+            dims = [a if (a == "pp" and shape[i] % axis_sizes["pp"] == 0)
+                    else None for i, a in enumerate(dims)]
             break
     return P(*dims)
 

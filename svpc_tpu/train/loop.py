@@ -134,32 +134,36 @@ def group_stack_batches(batch_iter, k: int, max_t_len: int,
     accumulated microbatches each (train/step.make_accum_train_step).
     The epoch tail never drops data: it yields the largest whole
     accumulation groups first, then one (1, r < accum) partial group —
-    the same partial-flush semantics as the unfused accumulation path."""
+    the same partial-flush semantics as the unfused accumulation path.
+    Metas split at the SAME boundary as the batches (per-batch meta
+    lists are kept until emission), so a consumer keying on
+    metas-per-group sees each video exactly once, attached to the group
+    that actually carries its batch (round-4 ADVICE)."""
     from svpc_tpu.data.packing import stack_batches
 
-    def emit(group, ms):
+    def emit(group, meta_groups):
         stacked = stack_batches(group, max_t_len, dp_shards)
         if accum > 1:
             stacked = {key: v.reshape((len(group) // accum, accum)
                                       + v.shape[1:])
                        for key, v in stacked.items()}
-        return stacked, ms
+        return stacked, [m for ms in meta_groups for m in ms]
 
     buf, metas = [], []
     for batch, ms in batch_iter:
         buf.append(batch)
-        metas.extend(ms)
+        metas.append(list(ms))
         if len(buf) == k * accum:
             yield emit(buf, metas)
             buf, metas = [], []
     if buf:
         q, r = divmod(len(buf), accum)
         if q:
-            yield emit(buf[:q * accum], metas)
-            metas = []
+            yield emit(buf[:q * accum], metas[:q * accum])
         if r:  # accum > 1 by construction (divmod(n, 1) has r == 0)
             stacked = stack_batches(buf[q * accum:], max_t_len, dp_shards)
-            yield {key: v[None] for key, v in stacked.items()}, metas
+            yield ({key: v[None] for key, v in stacked.items()},
+                   [m for ms in metas[q * accum:] for m in ms])
 
 
 def eval_packing_builder(cfg: Config, mesh, dataset, batch_size: int):

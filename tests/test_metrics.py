@@ -106,10 +106,11 @@ def test_meteor_v10_identical_canonical():
 
 
 def test_meteor_15_properties():
-    # the ref mixes corpus-derived FUNCTION words ('sprinkle', 'the',
-    # 'onto' — frequency > 1e-3 in the YC2 train captions) with CONTENT
-    # words ('paprika', 'casserole' — below threshold); membership is
-    # pinned by test_function_word_list_derivation
+    # the ref mixes FUNCTION words ('the', 'onto' — closed-class AND
+    # frequency > 1e-3 in the YC2 train captions) with CONTENT words
+    # ('sprinkle', 'paprika', 'casserole' — domain words the blend
+    # filter keeps content); membership is pinned by
+    # test_function_word_list_derivation
     from svpc_tpu.evaluation.meteor import _score_sentence
     ref = "sprinkle the paprika onto the casserole".split()
     perfect = _score_sentence(ref, ref, 0.85, 0.2, 0.6, 0.75)
@@ -133,17 +134,21 @@ def test_meteor_15_properties():
 
 
 def test_function_word_list_derivation():
-    """The pinned function-word artifact IS the 1.5 frequency rule's
-    output on the YC2 train captions: re-derive from the reference's
-    in-repo annotations and compare, and spot-check that common words are
-    in while below-threshold domain words are out."""
+    """The pinned function-word artifacts ARE the derivation tool's
+    output on the YC2 train captions: re-derive both modes from the
+    reference's in-repo annotations and compare.  The default (blend =
+    frequency rule ∩ closed-class) keeps domain content words content —
+    the jar's news-corpus list never contains them (round-4 ADVICE) —
+    while the raw-rule list ships as the opt-in alternative."""
     import os
     import pytest
     from svpc_tpu.evaluation.meteor import _FUNCTION_WORDS
 
-    for w in ("the", "a", "and", "to", "into"):
+    for w in ("the", "a", "and", "to", "into", "onto"):
         assert w in _FUNCTION_WORDS
-    for w in ("paprika", "casserole", "skewer", "anchovies"):
+    # high-frequency DOMAIN words stay content under the blend default
+    # (they pass the raw frequency rule — see the corpus artifact)
+    for w in ("add", "bowl", "chicken", "paprika", "casserole", "skewer"):
         assert w not in _FUNCTION_WORDS
 
     train = ("/root/reference/densevid_eval/yc2_data/"
@@ -157,8 +162,20 @@ def test_function_word_list_derivation():
                      "derive_function_words.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    derived, _ = mod.derive(train)
-    assert frozenset(derived) == _FUNCTION_WORDS
+    blend, _ = mod.derive(train, mode="blend")
+    assert frozenset(blend) == _FUNCTION_WORDS
+    assert frozenset(blend) <= mod.CLOSED_CLASS
+
+    corpus, _ = mod.derive(train, mode="corpus")
+    data_dir = os.path.join(os.path.dirname(__file__), os.pardir,
+                            "svpc_tpu", "evaluation", "data")
+    with open(os.path.join(data_dir, "function_words_corpus.txt")) as f:
+        pinned_corpus = frozenset(
+            w for w in (l.strip() for l in f if not l.startswith("#")) if w)
+    assert frozenset(corpus) == pinned_corpus
+    # the blend is exactly the corpus list filtered by the inventory
+    assert frozenset(blend) == pinned_corpus & mod.CLOSED_CLASS
+    assert {"add", "bowl", "chicken"} <= pinned_corpus
 
 
 def test_meteor_fixture_snapshot():
@@ -167,11 +184,11 @@ def test_meteor_fixture_snapshot():
     from svpc_tpu.evaluation.meteor import approximate_meteor
     gts, res = _meteor_fixture()
     mean, scores = approximate_meteor(gts, res)
-    np.testing.assert_allclose(mean, 0.282721, atol=1e-5)
+    np.testing.assert_allclose(mean, 0.301581, atol=1e-5)
     np.testing.assert_allclose(
         scores,
-        [0.484698, 0.297824, 0.32047, 0.273932, 0.580704,
-         0.113475, 0.0, 0.240784, 0.34291, 0.172414], atol=1e-5)
+        [0.474161, 0.274914, 0.332739, 0.308886, 0.580704,
+         0.159204, 0.0, 0.32881, 0.376901, 0.179487], atol=1e-5)
 
 
 def test_meteor_aligner_optimal_on_tie_cases():
@@ -205,6 +222,84 @@ def test_meteor_aligner_optimal_on_tie_cases():
     # adjacency sentinel: j=0 at hyp position 0 must still open a chunk)
     pairs, chunks = _align("the cat".split(), "the cat".split())
     assert chunks == 1 and len(pairs) == 2
+
+
+def _jar_delta_corpus():
+    """Corpus-scale (hyp, refs) pairs for the jar-gated delta measurement,
+    built deterministically from the in-repo YC2 val annotations: per
+    video, each sentence scored against the NEXT step's sentence
+    (related-but-different, realistic mid-range scores), plus every 7th
+    sentence as an identity pair and every 11th with reversed word order
+    (fragmentation-penalty coverage) — ~900 sentence pairs spanning the
+    score range, vs the 10-sentence pinned fixture."""
+    import json
+    import os
+    val = ("/root/reference/densevid_eval/yc2_data/"
+           "bosselut_split_yc2_val_anet_format.json")
+    if not os.path.exists(val):
+        return None
+    anns = json.load(open(val))
+    gts, res = {}, {}
+    i = 0
+    for vid in sorted(anns):
+        sents = anns[vid]["sentences"]
+        for j, s in enumerate(sents):
+            if j + 1 < len(sents):
+                gts[f"n{i}"] = [sents[j + 1]]
+                res[f"n{i}"] = [s]
+                i += 1
+            if j == 0 and i % 7 == 0:
+                gts[f"i{i}"] = [s]
+                res[f"i{i}"] = [s]
+                i += 1
+            if j == 0 and i % 11 == 0:
+                gts[f"r{i}"] = [s]
+                res[f"r{i}"] = [" ".join(reversed(s.split()))]
+                i += 1
+    return gts, res
+
+
+def test_meteor_corpus_jar_delta():
+    """Jar-gated, corpus-scale: score ~900 YC2 val sentence pairs through
+    BOTH backends and bound the delta DISTRIBUTION — |mean Δ| (the number
+    that moves a reported METEOR), mean |Δ| and p95 |Δ| — writing the
+    distribution to tests/artifacts/meteor_jar_delta.json so the
+    "labeled approximation" claim gets a measured error band the moment
+    any environment supplies a jar (round-4 VERDICT item 7).  Skipped
+    without the jar (this host: no JVM, no egress)."""
+    import json
+    import os
+    import pytest
+    from svpc_tpu.evaluation.meteor import (JarMeteor, approximate_meteor,
+                                            jar_available)
+    if not jar_available():
+        pytest.skip("meteor-1.5.jar / java not available on this host")
+    pairs = _jar_delta_corpus()
+    if pairs is None:
+        pytest.skip("reference annotations not mounted")
+    gts, res = pairs
+    assert len(gts) >= 500, "corpus-scale harness lost its corpus"
+    jar_mean, jar_scores = JarMeteor().compute_score(gts, res)
+    approx_mean, approx_scores = approximate_meteor(gts, res)
+    deltas = np.asarray(approx_scores) - np.asarray(jar_scores)
+    dist = {
+        "n": int(deltas.size),
+        "jar_mean": float(jar_mean),
+        "approx_mean": float(approx_mean),
+        "mean_delta": float(deltas.mean()),
+        "mean_abs_delta": float(np.abs(deltas).mean()),
+        "p95_abs_delta": float(np.percentile(np.abs(deltas), 95)),
+        "max_abs_delta": float(np.abs(deltas).max()),
+    }
+    art_dir = os.path.join(os.path.dirname(__file__), "artifacts")
+    os.makedirs(art_dir, exist_ok=True)
+    with open(os.path.join(art_dir, "meteor_jar_delta.json"), "w") as f:
+        json.dump(dist, f, indent=1)
+    # corpus-level bias is what shifts a reported METEOR; per-sentence
+    # spread is allowed to be wider (the missing synonym/paraphrase
+    # modules move individual sentences more than the aggregate)
+    assert abs(dist["mean_delta"]) <= 0.03, dist
+    assert dist["p95_abs_delta"] <= 0.10, dist
 
 
 def test_meteor_fixture_jar_delta():

@@ -197,6 +197,31 @@ def test_aggregate_metrics_sums_stacked_arrays():
     assert a["nonfinite_skipped"] == 1
 
 
+def test_group_stack_batches_meta_attribution():
+    """Metas split at the same boundary as the batches: the epoch tail's
+    partial-accum group carries ITS videos' metas, not the preceding full
+    group's (round-4 ADVICE) — asserted per-group for a 7-batch epoch
+    under k=2, accum=2 (one full group, one whole tail group, one
+    partial)."""
+    from svpc_tpu.train.loop import group_stack_batches
+
+    batches = [({"x": np.full((2, 3), i, np.float32)}, [f"m{i}"])
+               for i in range(7)]
+    groups = list(group_stack_batches(iter(batches), k=2, max_t_len=4,
+                                      accum=2))
+    metas = [ms for _, ms in groups]
+    assert metas == [["m0", "m1", "m2", "m3"],  # full (2, 2) group
+                     ["m4", "m5"],              # whole tail accum group
+                     ["m6"]]                    # partial (1, 1) flush
+    shapes = [g["x"].shape for g, _ in groups]
+    assert shapes == [(2, 2, 2, 3), (1, 2, 2, 3), (1, 1, 2, 3)]
+    # every batch's values land in the group its metas claim
+    np.testing.assert_array_equal(groups[1][0]["x"][0, 0],
+                                  np.full((2, 3), 4, np.float32))
+    np.testing.assert_array_equal(groups[2][0]["x"][0, 0],
+                                  np.full((2, 3), 6, np.float32))
+
+
 def test_steps_per_dispatch_validation():
     from svpc_tpu.config import TrainConfig
 

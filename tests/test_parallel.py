@@ -301,6 +301,44 @@ def test_multihost_helper_single_process():
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
 
 
+def test_resolve_spec_drops_nondivisible_pp_axis():
+    """shard_params / zero1_partition_spec are public helpers callable on
+    ad-hoc trees: a stacked ``layers`` leaf whose LAYER axis does not
+    divide pp must fall back to replication on that axis instead of
+    emitting an invalid P("pp", ...) spec that fails deep in device_put
+    (round-4 ADVICE).  train()'s own trees never hit this (it validates
+    pp | num_hidden_layers)."""
+    import jax
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+    from svpc_tpu.parallel.mesh import (_resolve_spec, make_mesh,
+                                        shard_params, zero1_partition_spec)
+
+    sizes = {"dp": 2, "pp": 2, "tp": 2}
+    # pp dim itself non-divisible (3 layers, pp=2): pp must drop too
+    assert _resolve_spec(P("pp", None, "tp"), (3, 4, 4), sizes) == \
+        P(None, None, None)
+    # tp fails, pp divides: pp survives the tp demotion
+    assert _resolve_spec(P("pp", None, "tp"), (4, 4, 3), sizes) == \
+        P("pp", None, None)
+    # zero1 spec on the same ad-hoc leaf never keeps an invalid pp axis
+    path = (jax.tree_util.DictKey("layers"),
+            jax.tree_util.DictKey("dense"),
+            jax.tree_util.DictKey("kernel"))
+    spec = zero1_partition_spec(path, (3, 4, 4), sizes)
+    assert "pp" not in jax.tree_util.tree_leaves(tuple(spec)) or \
+        spec[0] != "pp"
+
+    # and the whole placement path works end-to-end on such a tree
+    mesh = make_mesh(dp_size=2, tp_size=2, pp_size=2)
+    tree = {"layers": {"dense": {
+        "kernel": np.zeros((3, 4, 4), np.float32)}}}
+    placed = shard_params(mesh, tree)  # must not raise
+    leaf = placed["layers"]["dense"]["kernel"]
+    shard = leaf.addressable_shards[0].data
+    assert shard.shape[0] == 3  # replicated on the layer axis
+
+
 def test_multiprocess_assembly_mechanism():
     """The multi-process placement path (_assemble_from_index_map) builds
     the global array from per-device shards selected by the sharding's

@@ -3,18 +3,37 @@
 METEOR 1.5 builds its ``function/en.words`` inventory from corpus
 statistics: every token whose RELATIVE CORPUS FREQUENCY exceeds 1e-3 is a
 function word (Denkowski & Lavie 2014, §"Parameters: function words").
-The jar ships a list derived from large monolingual news corpora, which
-are not present here (no network egress); this tool applies the same rule
-to the in-repo corpus the metric actually scores — the YC2 training
-captions (reference densevid_eval/yc2_data) — preprocessed with the SAME
-``parse_sent`` normalization the eval pipeline feeds the scorer
-(evaluation/para_eval.py: strip non-alphabetic, lowercase, split), so
-membership tests run on exactly the token alphabet the scorer sees.
+The jar ships a list derived from large monolingual NEWS corpora — on
+corpora that size the rule's output is essentially the closed-class
+vocabulary (articles, prepositions, pronouns, auxiliaries...), because no
+single content word reaches 0.1% of a news corpus.  Those corpora are not
+present here (no network egress), and applying the raw rule to the small
+in-repo YC2 caption corpus captures high-frequency DOMAIN words
+("bowl", "add", "chicken") that the jar would treat as content — moving
+the approximation AWAY from jar behavior on exactly the informative
+tokens (round-4 ADVICE).
 
-Regenerates ``svpc_tpu/evaluation/data/function_words.txt`` (checked in,
-pinned by tests/test_metrics.py).  Run:
+Two modes therefore exist:
 
-    python tools/derive_function_words.py [--train_path P] [--out P]
+  * ``blend`` (default): frequency rule on the YC2 train captions
+    INTERSECTED with a curated closed-class inventory — the rule decides,
+    the inventory keeps domain content words content.  Best offline
+    approximation of the jar's actual list: a closed-class word too rare
+    to pass the YC2 threshold is also too rare in the scored splits to
+    move a score, and every frequent closed-class word passes.
+    → ``svpc_tpu/evaluation/data/function_words.txt`` (the default the
+    scorer loads).
+  * ``corpus``: the raw frequency rule, no filter (the round-4 artifact)
+    → ``svpc_tpu/evaluation/data/function_words_corpus.txt``; opt in via
+    ``SVPC_METEOR_FUNCTION_WORDS`` pointing at it.
+
+The corpus is preprocessed with the SAME ``parse_sent`` normalization the
+eval pipeline feeds the scorer (evaluation/para_eval.py: strip
+non-alphabetic, lowercase, split), so membership tests run on exactly the
+token alphabet the scorer sees.  Both artifacts are checked in and pinned
+by tests/test_metrics.py.  Run:
+
+    python tools/derive_function_words.py [--train_path P] [--mode M]
 """
 
 from __future__ import annotations
@@ -29,13 +48,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT_TRAIN = ("/root/reference/densevid_eval/yc2_data/"
                  "bosselut_yc2_train_anet_format.json")
-DEFAULT_OUT = os.path.join(
+DATA_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "svpc_tpu", "evaluation", "data", "function_words.txt")
+    "svpc_tpu", "evaluation", "data")
+OUT = {"blend": os.path.join(DATA_DIR, "function_words.txt"),
+       "corpus": os.path.join(DATA_DIR, "function_words_corpus.txt")}
 THRESHOLD = 1e-3  # METEOR 1.5: relative corpus frequency > 1e-3
 
+# Curated closed-class inventory for the blend filter: articles,
+# determiners, conjunctions, prepositions, pronouns, auxiliaries, common
+# adverbial particles and punctuation — the word classes the jar's
+# news-derived en.words actually contains.  Deliberately NOT shared with
+# svpc_tpu/tagging.py's `_CLOSED_CLASS` (that one serves POS-tagging
+# heuristics and evolves independently; sharing the constant is how the
+# round-4 tagger regression happened).
+CLOSED_CLASS = frozenset("""
+a an the this that these those some any each every no all both either
+neither and or but nor so yet for if then than as because while when
+where after before until unless although though since whether once
+of in on at by with from to into onto over under above below between
+among through during against about around off out up down near
+i you he she it we they me him her us them my your his its our their
+mine yours hers ours theirs myself yourself himself herself itself
+ourselves themselves who whom whose which what
+is are was were be been being am do does did done doing have has had
+having will would shall should can could may might must ought
+not n't no nor never also just only very too quite rather there here
+now then again further once
+. , ; : ! ? ' " ` `` '' - -- ( ) [ ] { }
+""".split())
 
-def derive(train_path: str, threshold: float = THRESHOLD):
+
+def derive(train_path: str, threshold: float = THRESHOLD,
+           mode: str = "blend"):
     from svpc_tpu.evaluation.para_eval import parse_sent
 
     with open(train_path) as f:
@@ -46,27 +91,42 @@ def derive(train_path: str, threshold: float = THRESHOLD):
             counts.update(parse_sent(sent))
     total = sum(counts.values())
     words = sorted(w for w, c in counts.items() if c / total > threshold)
+    if mode == "blend":
+        words = [w for w in words if w in CLOSED_CLASS]
     return words, total
+
+
+def write_list(path: str, words, total: int, train_path: str,
+               threshold: float, mode: str) -> None:
+    rule = "relative corpus frequency > {:g}".format(threshold)
+    if mode == "blend":
+        rule += " AND closed-class (curated inventory in the tool)"
+    with open(path, "w") as f:
+        f.write(f"# METEOR function words [{mode}]: {rule}\n"
+                "# corpus: YC2 training captions "
+                f"({os.path.basename(train_path)}, {total} tokens, "
+                "parse_sent-normalized)\n"
+                "# regenerate: python tools/derive_function_words.py\n")
+        f.write("\n".join(words) + "\n")
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--train_path", default=DEFAULT_TRAIN)
-    ap.add_argument("--out", default=DEFAULT_OUT)
+    ap.add_argument("--out", default=None,
+                    help="override the per-mode default output path")
     ap.add_argument("--threshold", type=float, default=THRESHOLD)
+    ap.add_argument("--mode", choices=("blend", "corpus", "both"),
+                    default="both")
     args = ap.parse_args()
 
-    words, total = derive(args.train_path, args.threshold)
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        f.write("# METEOR function words: relative corpus frequency > "
-                f"{args.threshold:g}\n"
-                "# corpus: YC2 training captions "
-                f"({os.path.basename(args.train_path)}, {total} tokens, "
-                "parse_sent-normalized)\n"
-                "# regenerate: python tools/derive_function_words.py\n")
-        f.write("\n".join(words) + "\n")
-    print(f"{len(words)} function words -> {args.out}")
+    modes = ("blend", "corpus") if args.mode == "both" else (args.mode,)
+    for mode in modes:
+        out = args.out if args.out and args.mode != "both" else OUT[mode]
+        words, total = derive(args.train_path, args.threshold, mode)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        write_list(out, words, total, args.train_path, args.threshold, mode)
+        print(f"[{mode}] {len(words)} function words -> {out}")
 
 
 if __name__ == "__main__":
