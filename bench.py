@@ -11,7 +11,17 @@ clips/sec measurement so the artifact captures both BASELINE.json targets:
    "unit": "clips/sec", "vs_baseline": ratio,
    "extras": {"train_sweep": {"b8": ..., "b32": ...},
               "decode_clips_per_sec": ..., "decode_vs_baseline": ...,
-              "dtype": ..., "packed": ...}}
+              "dtype": ..., "packed": ...,
+              "flops_per_step": ..., "tflops": ..., "mfu": ...,
+              "decode_flops_per_call": ..., "decode_tflops": ...,
+              "train_peak_hbm_bytes": ..., "decode_peak_hbm_bytes": ...}}
+
+Efficiency instruments (all from the SAME AOT executables that produce
+the timings): train MFU at the pin's train_batch, decode TFLOP/s, and
+per-device peak HBM bytes of both programs — each with a warn-only band
+against tools/bench_pin.json, so a lost fusion, f32 fallback, or memory
+blow-up on either path trips the artifact even when throughput variance
+masks it.
 
 vs_baseline compares against tools/reference_baseline.json (measured with
 tools/bench_reference.py on this machine's CPU, same batch composition).
@@ -105,6 +115,25 @@ def _step_flops(compiled, scan: int):
         return None
 
 
+def _peak_hbm(compiled):
+    """Per-device peak HBM bytes of a compiled executable, from XLA's
+    AOT memory accounting (the `memory_analysis()` treatment the remat
+    measurement got in BASELINE.md, now a per-round artifact): live
+    arguments + outputs − donated aliases + scratch temps + program.
+    A layout regression or an accidental f32 fallback moves this number
+    even when throughput variance masks the time cost."""
+    try:
+        ms = compiled.memory_analysis()
+        if ms is None:
+            return None
+        peak = (ms.argument_size_in_bytes + ms.output_size_in_bytes
+                - ms.alias_size_in_bytes + ms.temp_size_in_bytes
+                + ms.generated_code_size_in_bytes)
+        return int(peak) if peak > 0 else None
+    except Exception:  # noqa: BLE001 — optional instrumentation
+        return None
+
+
 def bench_train(base_cfg, batch_size, iters, packed, baseline, scan=1):
     import jax
     import jax.numpy as jnp
@@ -138,6 +167,7 @@ def bench_train(base_cfg, batch_size, iters, packed, baseline, scan=1):
         train_step = jax.jit(step_fn, donate_argnums=0).lower(
             state, batch, rng).compile()
         flops = _step_flops(train_step, scan)
+        peak = _peak_hbm(train_step)
 
         def sync(metrics):
             # block_until_ready is a no-op on the experimental axon
@@ -154,7 +184,7 @@ def bench_train(base_cfg, batch_size, iters, packed, baseline, scan=1):
             state, m = train_step(state, batch, rng)
         sync(m)
         dt = (time.perf_counter() - t0) / (n * scan)
-    return total_clips / dt, dt, flops
+    return total_clips / dt, dt, flops, peak
 
 
 def bench_decode(base_cfg, batch_size, iters, packed, baseline):
@@ -166,7 +196,15 @@ def bench_decode(base_cfg, batch_size, iters, packed, baseline):
     cfg, model, batch, params, total_clips = _setup(
         base_cfg, batch_size, packed, baseline)
     with precision_scope(cfg.model):
-        fn = jax.jit(lambda p, b: greedy_decode(model, p, b))
+        # AOT-compile so the SAME executable yields the timing loop AND
+        # the XLA cost/memory analysis (decode-side efficiency artifact:
+        # round-4 VERDICT item 5 — without it an f32 fallback in the
+        # decode scan had to cost >10% throughput before anything
+        # tripped; FLOPs are exact, so extras.decode_tflops trips first)
+        fn = jax.jit(lambda p, b: greedy_decode(model, p, b)).lower(
+            params, batch).compile()
+        flops = _step_flops(fn, 1)
+        peak = _peak_hbm(fn)
 
         ids = fn(params, batch)
         ids[0, 0, 0].item()  # sync (block_until_ready no-op on axon)
@@ -176,7 +214,7 @@ def bench_decode(base_cfg, batch_size, iters, packed, baseline):
             ids = fn(params, batch)
         ids[0, 0, 0].item()
         dt = (time.perf_counter() - t0) / iters
-    return total_clips / dt
+    return total_clips / dt, dt, flops, peak
 
 
 def _measure_with_retry(fn, *args, attempts=3, what="bench", **kwargs):
@@ -231,14 +269,26 @@ def main():
     # hides the RPC latency — BASELINE.md), so 1 stays the default
     scan = int(os.environ.get("SVPC_BENCH_SCAN", "1"))
 
+    # load the state-of-record pin up front: the MFU batch selection
+    # below prefers the pin's own train_batch (round-4 VERDICT item 4 —
+    # a sweep override must not silently decouple the MFU reading from
+    # its regression band)
+    pin_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools", "bench_pin.json")
+    pin = None
+    if os.environ.get("SVPC_BENCH_PIN", "1") != "0" \
+            and os.path.exists(pin_path):
+        with open(pin_path) as f:
+            pin = json.load(f)
+
     train_sweep = {}
     step_info = {}
     for b in sweep:
-        cps, dt, flops = _measure_with_retry(
+        cps, dt, flops, peak = _measure_with_retry(
             bench_train, base_cfg, b, iters, packed, baseline, scan=scan,
             what=f"train b{b}")
         train_sweep[f"b{b}"] = round(cps, 2)
-        step_info[b] = (dt, flops)
+        step_info[b] = (dt, flops, peak)
     best = max(train_sweep.values())
     vs_baseline = (best / baseline["train_clips_per_sec"]
                    if baseline else None)
@@ -255,27 +305,41 @@ def main():
     # HBM-roofline optimizer slice, so its honest band is lower).
     import jax
     kind = jax.devices()[0].device_kind
-    peak = float(os.environ.get("SVPC_BENCH_PEAK_TFLOPS", "0")) \
+    peak_tf = float(os.environ.get("SVPC_BENCH_PEAK_TFLOPS", "0")) \
         or _PEAK_TFLOPS.get(kind)
-    mfu_batch = max(sweep)
-    dt, flops = step_info[mfu_batch]
+    # MFU at the pin's own train_batch whenever the sweep contains it, so
+    # the mfu_vs_pin band below always applies; only an off-pin sweep
+    # (e.g. SVPC_BENCH_BATCH=8,64) falls back to max(sweep), and then the
+    # artifact says so instead of silently skipping the check
+    pin_batch = (pin or {}).get("conditions", {}).get("train_batch")
+    if pin_batch in step_info:
+        mfu_batch = pin_batch
+    else:
+        mfu_batch = max(sweep)
+        if pin is not None:
+            extras["mfu_unchecked"] = (
+                f"pin train_batch {pin_batch} not in sweep; MFU measured "
+                f"at B={mfu_batch} without a regression band")
+    dt, flops, train_peak = step_info[mfu_batch]
     extras["device_kind"] = kind
     if flops:
         extras["flops_per_step"] = round(flops)
         extras["tflops"] = round(flops / dt / 1e12, 2)
-        if peak:
-            extras["mfu"] = round(flops / dt / 1e12 / peak, 4)
+        if peak_tf:
+            extras["mfu"] = round(flops / dt / 1e12 / peak_tf, 4)
             extras["mfu_batch"] = mfu_batch
+    if train_peak:
+        extras["train_peak_hbm_bytes"] = train_peak
+    decode_batch = int(os.environ.get("SVPC_BENCH_DECODE_BATCH", "64"))
     if run_decode:
         # decode keeps scaling past the train sweet spot (B=64 measured
         # above B=32/48 — serving numbers in BASELINE.md).  A decode-half
         # failure degrades to an extras note rather than losing the train
         # metric: the artifact's primary number must survive.
-        decode_batch = int(os.environ.get("SVPC_BENCH_DECODE_BATCH", "64"))
         try:
-            dec = _measure_with_retry(bench_decode, base_cfg, decode_batch,
-                                      max(iters // 2, 5), packed, baseline,
-                                      what="decode")
+            dec, dec_dt, dec_flops, dec_peak = _measure_with_retry(
+                bench_decode, base_cfg, decode_batch,
+                max(iters // 2, 5), packed, baseline, what="decode")
         except Exception as e:  # noqa: BLE001 — artifact must still print
             # guard the empty-message case (e.g. RuntimeError()) the way
             # runtime.py does, and make the degradation loud on stderr so
@@ -291,6 +355,18 @@ def main():
             if baseline:
                 extras["decode_vs_baseline"] = round(
                     dec / baseline["decode_clips_per_sec"], 2)
+            # decode-side efficiency instrument (round-4 VERDICT item 5):
+            # exact XLA-counted FLOPs per decode call / measured time.
+            # The decode scan is latency-dominated, so the absolute
+            # TFLOP/s is small — the value of the number is its pin band:
+            # a lost fusion or f32 fallback moves FLOPs or time while
+            # clips/s variance (±10%) can mask it.
+            if dec_flops:
+                extras["decode_flops_per_call"] = round(dec_flops)
+                extras["decode_tflops"] = round(
+                    dec_flops / dec_dt / 1e12, 3)
+            if dec_peak:
+                extras["decode_peak_hbm_bytes"] = dec_peak
 
     # warn-only regression check against the checked-in state-of-record
     # pin (tools/bench_pin.json; round-2 VERDICT item 8): the artifact
@@ -299,12 +375,7 @@ def main():
     # SVPC_BENCH_PIN=0 disables (e.g. deliberate off-pin configurations);
     # the check also stands down by itself when the measured config
     # differs from the pin's conditions (env overrides).
-    pin_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "tools", "bench_pin.json")
-    if os.environ.get("SVPC_BENCH_PIN", "1") != "0" \
-            and os.path.exists(pin_path):
-        with open(pin_path) as f:
-            pin = json.load(f)
+    if pin is not None:
         cond = pin.get("conditions", {})
         applicable = (
             compute_dtype == cond.get("dtype", compute_dtype)
@@ -338,6 +409,32 @@ def main():
                 reg["mfu_vs_pin"] = round(rm, 3)
                 if rm < 1.0 - tol:
                     reg["status"] = "regressed"
+            # decode-efficiency band (exact FLOPs / measured time): a
+            # decode-path f32 fallback or lost fusion trips this long
+            # before it costs 10% of clips/s
+            dtf = extras.get("decode_tflops")
+            if dtf and pin.get("decode_tflops") \
+                    and decode_batch == cond.get("decode_batch"):
+                rdt = dtf / float(pin["decode_tflops"])
+                reg["decode_tflops_vs_pin"] = round(rdt, 3)
+                if rdt < 1.0 - tol:
+                    reg["status"] = "regressed"
+            # peak-HBM bands are one-sided the other way: MORE memory is
+            # the regression (a lost donation/alias, an f32 buffer, a
+            # layout blow-up); less is an improvement.  AOT byte counts
+            # are deterministic per jax/XLA version, so the band only
+            # absorbs compiler-version drift.
+            for name, key, batch_ok in (
+                    ("train_peak_vs_pin", "train_peak_hbm_bytes",
+                     extras.get("mfu_batch") == cond.get("train_batch")),
+                    ("decode_peak_vs_pin", "decode_peak_hbm_bytes",
+                     decode_batch == cond.get("decode_batch"))):
+                got, want = extras.get(key), pin.get(key)
+                if got and want and batch_ok:
+                    rp = got / float(want)
+                    reg[name] = round(rp, 3)
+                    if rp > 1.0 + tol:
+                        reg["status"] = "regressed"
             extras["regression"] = reg
             if reg["status"] != "ok":
                 print(f"# WARNING: throughput below the pinned band "

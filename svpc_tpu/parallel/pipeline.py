@@ -257,7 +257,8 @@ def gpipe(stage_fn: Callable[[Pytree, Pytree], Pytree],
           pp_axis: str = "pp",
           batch_axis: Optional[str] = None,
           mb_specs: Optional[Pytree] = None,
-          remat: bool = False) -> Pytree:
+          remat: bool = False,
+          check_vma: bool = False) -> Pytree:
     """Run ``microbatches`` through a layer stack pipelined over ``pp_axis``.
 
     Args:
@@ -282,6 +283,11 @@ def gpipe(stage_fn: Callable[[Pytree, Pytree], Pytree],
       remat: wrap each layer application in ``jax.checkpoint`` so the
         backward pipeline rematerializes instead of storing every tick's
         intermediates (the 1F1B memory story, see module docstring).
+      check_vma: forward to ``jax.shard_map``.  False (the default)
+        works around an XLA:CPU backward-collective deadlock — see the
+        comment at the shard_map call below; ``tests/test_vma_canary.py``
+        (the workaround's executable expiry condition) is the only
+        intended True caller.
 
     Returns:
       The pytree of outputs, same structure/shapes as ``microbatches``
@@ -349,19 +355,24 @@ def gpipe(stage_fn: Callable[[Pytree, Pytree], Pytree],
         mb_specs = tmap(lambda _: mb_spec, microbatches)
     in_specs = (tmap(lambda _: P(pp_axis), stacked_params), mb_specs)
     out_specs = mb_specs
-    # check_vma=False: with varying-manual analysis ON, transposing the
-    # tick's `where` gating makes shard_map insert psum_invariant
-    # all-reduces in the BACKWARD loop body that are dataflow-independent
-    # of that tick's (reversed) ppermute; XLA:CPU's concurrent thunk
-    # executor can then order the two collectives differently on
-    # different devices — a real cross-device rendezvous deadlock,
-    # reproduced deterministically under dp2×pp2×tp2 + ZeRO-1 on the
-    # 8-virtual-device host (2026-08-21).  With the analysis off, every
-    # value is treated as device-varying: no invariance-repair
-    # collectives exist to race, and the transpose stays plain data flow.
-    # Numerics are unchanged (the whole parity ladder in
-    # tests/test_pipeline.py runs under this setting).
-    kw = {"check_vma": False}
+    # check_vma defaults False: with varying-manual analysis ON,
+    # transposing the tick's `where` gating makes shard_map insert
+    # psum_invariant all-reduces in the BACKWARD loop body that are
+    # dataflow-independent of that tick's (reversed) ppermute; XLA:CPU's
+    # concurrent thunk executor can then order the two collectives
+    # differently on different devices — a real cross-device rendezvous
+    # deadlock, reproduced deterministically under dp2×pp2×tp2 + ZeRO-1
+    # on the 8-virtual-device host (2026-08-21, jax 0.8.x).  With the
+    # analysis off, every value is treated as device-varying: no
+    # invariance-repair collectives exist to race, and the transpose
+    # stays plain data flow.  Numerics are unchanged (the whole parity
+    # ladder in tests/test_pipeline.py runs under this setting).
+    # EXPIRY CONDITION: tests/test_vma_canary.py re-runs the reproducer
+    # with check_vma=True under a timeout every suite run — when a JAX/
+    # XLA upgrade makes it pass cleanly, that canary fails with
+    # retirement instructions instead of leaving this opt-out to
+    # archaeology (round-4 VERDICT item 5).
+    kw = {"check_vma": check_vma}
     manual = {pp_axis} | ({batch_axis} if batch_axis else set())
     if set(mesh.axis_names) - manual:
         # extra mesh axes (tensor parallelism) stay AUTOMATIC: the
