@@ -195,6 +195,9 @@ def config_from_args(args) -> Config:
             # this builder)
             checkpoint_every_steps=getattr(args, "checkpoint_every_steps",
                                            0),
+            # train-only, like checkpoint_every_steps
+            multihost_sharded_data=getattr(args, "multihost_sharded_data",
+                                           False),
             pack_clips=not args.no_pack_clips,
             length_group=args.length_group,
             debug=args.debug),

@@ -43,6 +43,12 @@ def main():
                         "same deterministic global batch and transfers "
                         "only the shards its devices own "
                         "(parallel/mesh.py::assemble_global_batch)")
+    p.add_argument("--multihost_sharded_data", action="store_true",
+                   help="with --multihost: each host also BUILDS only "
+                        "the packed-batch blocks its devices own "
+                        "(per-host data loading — host work / "
+                        "process_count; identical device bytes; "
+                        "requires the packed layout)")
     args = p.parse_args()
     if args.multihost:
         import jax

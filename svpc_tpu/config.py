@@ -205,6 +205,16 @@ class TrainConfig:
     # moment+EMA memory ~dp-fold; numerics unchanged
     # (tests/test_zero1.py).  No effect at dp_size == 1.
     zero1: bool = False
+    # Per-host sharded batch construction (multi-host only): each process
+    # builds ONLY the packed-batch blocks its own devices hold
+    # (parallel/mesh.local_dp_shards + pack_examples(only_shards=...))
+    # instead of the default exact-global build where every host
+    # duplicates the full batch's construction work.  Device bytes are
+    # identical either way (the locally-built blocks are exactly what
+    # assemble_global_batch transfers — tests/test_sharded_data.py);
+    # host work per process drops ~process_count-fold.  Requires the
+    # packed layout (pack_clips).  No effect single-process.
+    multihost_sharded_data: bool = False
     # pipeline-parallel stage count: the clip-encoder and decoder trunks
     # route through the GPipe primitive (parallel/pipeline.py) on a
     # dp×pp mesh — params stacked per layer and sharded over pp,
@@ -270,6 +280,11 @@ class TrainConfig:
             raise ValueError("steps_per_dispatch must be >= 1")
         if self.pp_size < 1:
             raise ValueError("pp_size must be >= 1")
+        if self.multihost_sharded_data and not self.pack_clips:
+            raise ValueError(
+                "--multihost_sharded_data requires the packed layout "
+                "(it builds per-dp-shard packed blocks); drop "
+                "--no_pack_clips")
 
 
 @dataclass(frozen=True)

@@ -145,7 +145,8 @@ def pack_examples(examples, max_t_len: int, batch_size: Optional[int] = None,
                   clip_multiple: int = 16,
                   v_multiple: int = 16,
                   dp_shards: int = 1,
-                  fill_workers: int = 0) -> Batch:
+                  fill_workers: int = 0,
+                  only_shards=None) -> Batch:
     """Examples -> packed batch directly, skipping the dense (B, S, ...)
     intermediate.
 
@@ -156,11 +157,25 @@ def pack_examples(examples, max_t_len: int, batch_size: Optional[int] = None,
     one pass: per-video arrays stack (small), per-clip rows copy straight
     from each example into the final buffers.  Geometry and semantics are
     identical to pack_batch (tests/test_packed.py checks equality).
-    """
+
+    ``only_shards`` (an iterable of dp-shard indices) restricts the
+    EXPENSIVE construction — clip-row writes and the feature fill, the
+    dominant host cost under the lazy pipeline — to the given shards'
+    blocks; everything outside them stays zero/fill-valued.  Shape
+    parameters (N, v_len) are still derived from ALL examples' metadata
+    (cheap: step_mask / input_mask token arrays, no features), so every
+    process computes identical global shapes without communication.
+    This is the per-host sharded data-construction mode (SURVEY §2.4):
+    a multi-process run hands each process the shards its own devices
+    hold (parallel/mesh.local_dp_shards) and assemble_global_batch then
+    transfers exactly the blocks that were built — the per-shard blocks
+    are bitwise the blocks the full build produces
+    (tests/test_sharded_data.py)."""
     B = batch_size or len(examples)
     if B % dp_shards:
         raise ValueError(f"batch {B} not divisible by dp_shards={dp_shards}")
     Bs = B // dp_shards
+    owned = frozenset(only_shards) if only_shards is not None else None
     first = examples[0].arrays
     S = first["step_mask"].shape[0]
     L = first["input_ids"].shape[-1]
@@ -199,6 +214,8 @@ def pack_examples(examples, max_t_len: int, batch_size: Optional[int] = None,
         proto = first[k]
         dst = np.zeros((B,) + proto.shape, proto.dtype)
         for b, e in enumerate(examples):
+            if owned is not None and b // Bs not in owned:
+                continue
             dst[b] = e.arrays[k]
         out[k] = dst
 
@@ -221,6 +238,8 @@ def pack_examples(examples, max_t_len: int, batch_size: Optional[int] = None,
         if not n:
             continue
         g = b // Bs
+        if owned is not None and g not in owned:
+            continue
         lo = g * N + sum(steps[g * Bs:b])
         out["clip_video"][lo:lo + n] = b
         out["clip_step"][lo:lo + n] = np.arange(n)

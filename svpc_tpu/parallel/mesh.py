@@ -101,11 +101,39 @@ def assemble_global_batch(sharding: NamedSharding, batch: dict) -> dict:
     Note the deliberate trade: hosts duplicate batch-construction work
     (each builds all examples, transfers 1/process_count of them) in
     exchange for exactness — no per-host dataset partitioning protocol,
-    identical numerics to the single-host run by construction."""
+    identical numerics to the single-host run by construction.  The
+    opt-in sharded mode removes the duplication: with
+    ``cli.train --multihost_sharded_data`` each process builds only the
+    blocks its own devices hold (``local_dp_shards`` +
+    ``pack_examples(only_shards=...)``); the host arrays then carry
+    real data ONLY in the locally-owned regions, which are exactly the
+    regions this function reads — identical device bytes either way
+    (tests/test_sharded_data.py)."""
     if jax.process_count() == 1:
         return {k: jax.device_put(v, sharding) for k, v in batch.items()}
     return {k: _assemble_from_index_map(sharding, v)
             for k, v in batch.items()}
+
+
+def local_dp_shards(mesh: Mesh) -> set:
+    """dp-shard indices whose batch rows land on THIS process's devices.
+
+    Feeds the per-host sharded data-construction mode (SURVEY §2.4
+    "per-host data loading"): ``data/packing.pack_examples(...,
+    only_shards=local_dp_shards(mesh))`` builds only the blocks whose
+    rows ``assemble_global_batch`` will actually transfer from this
+    process, cutting per-process host work ~process_count-fold.  Derived
+    from the batch sharding's own index map over a 1-row-per-shard
+    global shape, so it can never drift from the placement.  On a single
+    process this is all shards (the mode degenerates to the exact global
+    build)."""
+    dp = mesh.shape.get("dp", 1)
+    imap = batch_sharding(mesh).addressable_devices_indices_map((dp,))
+    owned = set()
+    for idx in imap.values():
+        sl = idx[0] if isinstance(idx, tuple) else idx
+        owned.update(range(*sl.indices(dp)))
+    return owned
 
 
 def shard_batch_multihost(mesh: Mesh, global_batch: dict) -> dict:

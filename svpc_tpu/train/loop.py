@@ -99,7 +99,7 @@ def init_model(cfg: Config, sample_batch, rng_seed: int = None,
 
 
 def packing_builder(cfg: Config, mesh=None, n_clips: Optional[int] = None,
-                    v_len: Optional[int] = None):
+                    v_len: Optional[int] = None, local_shards=None):
     """Batch builder for CaptionDataset.batches: the packed layout built
     directly from examples (data/packing.pack_examples — skips two full
     feature copies the dense-stack-then-gather path pays).
@@ -107,8 +107,10 @@ def packing_builder(cfg: Config, mesh=None, n_clips: Optional[int] = None,
     ``n_clips``/``v_len`` pin the packed shape (one compile — right for
     eval); left None they bucket per batch (a handful of compiles — right
     for shuffled training).  Under data parallelism each dp shard packs
-    separately (clips co-located with their videos' arrays).  Returns None
-    when packing is disabled."""
+    separately (clips co-located with their videos' arrays).
+    ``local_shards`` restricts construction to those dp shards' blocks
+    (the per-host sharded data mode — pack_examples docstring); None
+    builds the full batch.  Returns None when packing is disabled."""
     if not cfg.train.pack_clips:
         return None
     from svpc_tpu.data.packing import pack_examples
@@ -120,7 +122,7 @@ def packing_builder(cfg: Config, mesh=None, n_clips: Optional[int] = None,
             n_clips=n_clips, v_len=v_len,
             clip_multiple=cfg.train.pack_clip_multiple,
             v_multiple=cfg.train.pack_v_multiple, dp_shards=dp,
-            fill_workers=cfg.data.num_workers)
+            fill_workers=cfg.data.num_workers, only_shards=local_shards)
 
     return build
 
@@ -611,11 +613,23 @@ def train(cfg: Config, workdir: str,
             # the source (before any example/feature work) reproduces the
             # uninterrupted trajectory exactly
             skip = resume_skip if epoch == start_epoch else 0
+            # per-host sharded data mode: this process builds only the
+            # packed blocks its own devices hold (identical device bytes
+            # — see TrainConfig.multihost_sharded_data); the train
+            # iterator only, since eval decodes consume per-host outputs
+            # of a globally identical submission anyway
+            data_shards = None
+            if cfg.train.multihost_sharded_data and mesh is not None \
+                    and jax.process_count() > 1:
+                from svpc_tpu.parallel.mesh import local_dp_shards
+                data_shards = local_dp_shards(mesh)
             host_iter = train_ds.batches(
                 cfg.train.batch_size, shuffle=True,
                 seed=cfg.train.seed + epoch,
                 length_group=cfg.train.length_group,
-                builder=packing_builder(cfg, mesh), skip=skip)
+                builder=packing_builder(cfg, mesh,
+                                        local_shards=data_shards),
+                skip=skip)
             if max_steps_per_epoch:
                 # cap at the SOURCE (before any grouping), so neither a
                 # K-step dispatch nor a skip==cap resume can overshoot —
