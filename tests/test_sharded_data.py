@@ -134,7 +134,9 @@ def test_feature_fill_work_drops(monkeypatch):
     from svpc_tpu.data.packing import pack_examples
     from svpc_tpu.data.pipeline import CaptionDataset
 
-    names, feat_dir, dur_file = rb.setup_features(4)
+    # isolated fixture dir: 4 videos in the SHARED dir would leak a 4th
+    # video into the parity datasets (setup_features docstring)
+    names, feat_dir, dur_file = rb.setup_features(4, tag="sharded4")
     cfg, _ = rb.build_ours("full", feat_dir, dur_file)
     ds = CaptionDataset(cfg, "val", num_steps=rb.GEOM["max_n_sen"],
                         lazy_features=True)
